@@ -1,0 +1,87 @@
+"""Benchmark: CTC training throughput on the flagship WSJ config.
+
+Measures audio-seconds of speech processed per wall-clock second per chip
+for the full jitted train step (BiLSTM fwd + CTC + bwd + update) — the
+north-star metric from BASELINE.json.  The reference never published
+throughput (it logged per-run "fps" only, src/netbin/train-ctc-parallel.cc:251),
+so vs_baseline is reported against a nominal 2015-GPU estimate of ~3000
+frames/sec (=30 audio-sec/s) for the same 4x320 BiLSTM workload.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from eesen_tpu.models.model import AcousticModelConfig
+    from eesen_tpu.training.optim import OptimizerConfig
+    from eesen_tpu.training.trainer import create_train_state, make_train_step
+
+    # WSJ flagship: 4x320 BiLSTM, 120-dim fbank+deltas, 72 targets.
+    cfg = AcousticModelConfig(
+        input_dim=120, cell_dim=320, num_layers=4, num_targets=72,
+        compute_dtype=jnp.bfloat16,
+    )
+    opt = OptimizerConfig(algorithm="sgd", momentum=0.9, max_grad=50.0)
+    state, tx = create_train_state(jax.random.PRNGKey(0), cfg, opt)
+    step = make_train_step(cfg, tx, donate=True)
+
+    bsz, t_max, l_max = 32, 768, 100   # ~7.7s utterances, real WSJ scale
+    rng = np.random.default_rng(0)
+    batch = {
+        "feats": jnp.asarray(
+            rng.standard_normal((bsz, t_max, cfg.input_dim)).astype(np.float32)
+        ),
+        "feat_lengths": jnp.asarray(
+            np.full((bsz,), t_max, dtype=np.int32)
+        ),
+        "labels": jnp.asarray(
+            rng.integers(1, cfg.num_targets, size=(bsz, l_max)).astype(np.int32)
+        ),
+        "label_lengths": jnp.asarray(np.full((bsz,), l_max, dtype=np.int32)),
+    }
+    key = jax.random.PRNGKey(1)
+    lr = jnp.float32(4e-5)
+
+    # warmup / compile
+    for _ in range(3):
+        key, sk = jax.random.split(key)
+        state, metrics = step(state, batch, sk, lr)
+    float(metrics["loss"])  # hard barrier (device round-trip)
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        key, sk = jax.random.split(key)
+        state, metrics = step(state, batch, sk, lr)
+    # Fetch a scalar that depends on the last step; the chained donated
+    # state makes step N depend on N-1, so this barriers the whole loop.
+    # (block_until_ready alone can return early for donation-aliased
+    # buffers under the axon remote platform.)
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    frames = bsz * t_max * n_steps
+    frames_per_sec = frames / dt
+    audio_sec_per_sec = frames_per_sec * 0.010  # 10ms frame shift
+    n_chips = jax.device_count()
+    value = audio_sec_per_sec / n_chips
+
+    baseline_audio_sec_per_sec = 30.0  # nominal 2015 GPU (~3000 fps)
+    print(json.dumps({
+        "metric": "ctc_train_audio_sec_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(value / baseline_audio_sec_per_sec, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,577 @@
+// fstlib: native WFST algorithms for eesen_tpu's graph builder.
+//
+// C++ implementations of the algorithms in eesen_tpu/decoder/fst.py with
+// identical semantics (cross-validated by tests/test_fst_native.py against
+// the Python versions on random FSTs).  These are the heavy offline ops of
+// the TLG build — compose, epsilon-removing determinization, encoded
+// minimization, epsilon removal, connect — which the reference gets from
+// OpenFst + its fstext extensions (reference: src/fstext/determinize-star-inl.h,
+// src/fstext/table-matcher.h, src/fstbin/fstminimizeencoded.cc).
+// Python-level graph building is fine for unit-test-sized graphs; real
+// LMs (millions of n-grams) need this.
+//
+// ABI: a single serialized-FST buffer format (see pack()/unpack() in
+// eesen_tpu/decoder/fst_native.py):
+//   int64 n_states, int64 start, int64 n_arcs,
+//   int32 src[n_arcs], int32 il[n_arcs], int32 ol[n_arcs],
+//   float  w[n_arcs],  int32 dst[n_arcs],
+//   int64 n_finals, int32 fstate[n_finals], float fw[n_finals]
+// Entry points return freshly malloc'd buffers; free with fstlib_free.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <cmath>
+#include <vector>
+#include <unordered_map>
+#include <map>
+#include <queue>
+#include <algorithm>
+#include <string>
+#include <limits>
+
+namespace {
+
+constexpr float kInf = std::numeric_limits<float>::infinity();
+constexpr int kEps = 0;
+
+struct Arc {
+  int32_t il, ol;
+  float w;
+  int32_t dst;
+};
+
+struct Fst {
+  int64_t start = -1;
+  std::vector<std::vector<Arc>> arcs;
+  std::unordered_map<int32_t, float> finals;
+
+  int64_t num_states() const { return (int64_t)arcs.size(); }
+  int32_t add_state() {
+    arcs.emplace_back();
+    return (int32_t)arcs.size() - 1;
+  }
+  bool is_final(int32_t s) const { return finals.count(s) != 0; }
+  float final_weight(int32_t s) const {
+    auto it = finals.find(s);
+    return it == finals.end() ? kInf : it->second;
+  }
+};
+
+// ---------- serialization ----------
+
+Fst unpack(const uint8_t* buf) {
+  const uint8_t* p = buf;
+  auto rd64 = [&]() { int64_t v; memcpy(&v, p, 8); p += 8; return v; };
+  Fst f;
+  int64_t n_states = rd64();
+  f.start = rd64();
+  int64_t n_arcs = rd64();
+  f.arcs.resize(n_states);
+  const int32_t* src = (const int32_t*)p; p += 4 * n_arcs;
+  const int32_t* il = (const int32_t*)p; p += 4 * n_arcs;
+  const int32_t* ol = (const int32_t*)p; p += 4 * n_arcs;
+  const float* w = (const float*)p; p += 4 * n_arcs;
+  const int32_t* dst = (const int32_t*)p; p += 4 * n_arcs;
+  for (int64_t i = 0; i < n_arcs; i++)
+    f.arcs[src[i]].push_back({il[i], ol[i], w[i], dst[i]});
+  int64_t n_finals = rd64();
+  const int32_t* fs = (const int32_t*)p; p += 4 * n_finals;
+  const float* fw = (const float*)p; p += 4 * n_finals;
+  for (int64_t i = 0; i < n_finals; i++) f.finals[fs[i]] = fw[i];
+  return f;
+}
+
+uint8_t* pack(const Fst& f, size_t* out_len) {
+  int64_t n_arcs = 0;
+  for (auto& a : f.arcs) n_arcs += (int64_t)a.size();
+  int64_t n_finals = (int64_t)f.finals.size();
+  size_t len = 8 * 3 + n_arcs * (4 * 5) + 8 + n_finals * 8;
+  uint8_t* buf = (uint8_t*)malloc(len);
+  uint8_t* p = buf;
+  auto wr64 = [&](int64_t v) { memcpy(p, &v, 8); p += 8; };
+  wr64(f.num_states());
+  wr64(f.start);
+  wr64(n_arcs);
+  int32_t* src = (int32_t*)p; p += 4 * n_arcs;
+  int32_t* il = (int32_t*)p; p += 4 * n_arcs;
+  int32_t* ol = (int32_t*)p; p += 4 * n_arcs;
+  float* w = (float*)p; p += 4 * n_arcs;
+  int32_t* dst = (int32_t*)p; p += 4 * n_arcs;
+  int64_t k = 0;
+  for (size_t s = 0; s < f.arcs.size(); s++)
+    for (auto& a : f.arcs[s]) {
+      src[k] = (int32_t)s; il[k] = a.il; ol[k] = a.ol; w[k] = a.w;
+      dst[k] = a.dst; k++;
+    }
+  wr64(n_finals);
+  int32_t* fs = (int32_t*)p; p += 4 * n_finals;
+  float* fw = (float*)p; p += 4 * n_finals;
+  // deterministic order for reproducibility
+  std::vector<std::pair<int32_t, float>> fin(f.finals.begin(), f.finals.end());
+  std::sort(fin.begin(), fin.end());
+  for (size_t i = 0; i < fin.size(); i++) {
+    fs[i] = fin[i].first; fw[i] = fin[i].second;
+  }
+  *out_len = len;
+  return buf;
+}
+
+// ---------- semiring ----------
+
+inline float log_plus(float a, float b) {
+  if (a == kInf) return b;
+  if (b == kInf) return a;
+  float hi = std::min(a, b), lo = std::max(a, b);  // smaller = better
+  return hi - std::log1p(std::exp(hi - lo));
+}
+
+inline float trop_plus(float a, float b) { return std::min(a, b); }
+
+// ---------- connect ----------
+
+Fst connect(const Fst& f) {
+  int64_t n = f.num_states();
+  Fst out;
+  if (f.start < 0 || n == 0) return out;
+  std::vector<char> fwd(n, 0), bwd(n, 0);
+  std::vector<int32_t> stack;
+  stack.push_back((int32_t)f.start);
+  fwd[f.start] = 1;
+  while (!stack.empty()) {
+    int32_t s = stack.back(); stack.pop_back();
+    for (auto& a : f.arcs[s])
+      if (!fwd[a.dst]) { fwd[a.dst] = 1; stack.push_back(a.dst); }
+  }
+  std::vector<std::vector<int32_t>> rev(n);
+  for (int64_t s = 0; s < n; s++)
+    for (auto& a : f.arcs[s]) rev[a.dst].push_back((int32_t)s);
+  for (auto& kv : f.finals)
+    if (fwd[kv.first] && !bwd[kv.first]) {
+      bwd[kv.first] = 1; stack.push_back(kv.first);
+    }
+  while (!stack.empty()) {
+    int32_t s = stack.back(); stack.pop_back();
+    for (int32_t p : rev[s])
+      if (!bwd[p]) { bwd[p] = 1; stack.push_back(p); }
+  }
+  std::vector<int32_t> remap(n, -1);
+  for (int64_t s = 0; s < n; s++)
+    if (fwd[s] && bwd[s]) remap[s] = out.add_state();
+  if (remap[f.start] < 0) return Fst();
+  out.start = remap[f.start];
+  for (int64_t s = 0; s < n; s++) {
+    if (remap[s] < 0) continue;
+    for (auto& a : f.arcs[s])
+      if (remap[a.dst] >= 0)
+        out.arcs[remap[s]].push_back({a.il, a.ol, a.w, remap[a.dst]});
+    auto it = f.finals.find((int32_t)s);
+    if (it != f.finals.end()) out.finals[remap[s]] = it->second;
+  }
+  return out;
+}
+
+// ---------- compose (epsilon-sequencing filter, canonical A*B*) ----------
+
+struct TripleHash {
+  size_t operator()(const std::tuple<int32_t, int32_t, int8_t>& t) const {
+    return std::get<0>(t) * 1000003u ^ std::get<1>(t) * 7919u ^ std::get<2>(t);
+  }
+};
+
+Fst compose(const Fst& a, const Fst& b) {
+  Fst out;
+  if (a.start < 0 || b.start < 0) return out;
+  using Key = std::tuple<int32_t, int32_t, int8_t>;
+  std::unordered_map<Key, int32_t, TripleHash> ids;
+  std::vector<Key> stack;
+  auto get_state = [&](int32_t sa, int32_t sb, int8_t flt) {
+    Key k{sa, sb, flt};
+    auto it = ids.find(k);
+    if (it != ids.end()) return it->second;
+    int32_t id = out.add_state();
+    ids.emplace(k, id);
+    stack.push_back(k);
+    return id;
+  };
+  out.start = get_state((int32_t)a.start, (int32_t)b.start, 0);
+  while (!stack.empty()) {
+    auto [sa, sb, flt] = stack.back(); stack.pop_back();
+    int32_t cur = ids[{sa, sb, flt}];
+    if (a.is_final(sa) && b.is_final(sb))
+      out.finals[cur] = a.final_weight(sa) + b.final_weight(sb);
+    // index b's arcs by ilabel
+    std::unordered_map<int32_t, std::vector<const Arc*>> by_il;
+    for (auto& ab : b.arcs[sb]) by_il[ab.il].push_back(&ab);
+    for (auto& aa : a.arcs[sa]) {
+      if (aa.ol == kEps) {
+        if (flt == 0 || flt == 1) {
+          int32_t nxt = get_state(aa.dst, sb, 1);
+          out.arcs[cur].push_back({aa.il, kEps, aa.w, nxt});
+        }
+      } else {
+        auto it = by_il.find(aa.ol);
+        if (it != by_il.end())
+          for (const Arc* ab : it->second) {
+            int32_t nxt = get_state(aa.dst, ab->dst, 0);
+            out.arcs[cur].push_back({aa.il, ab->ol, aa.w + ab->w, nxt});
+          }
+      }
+    }
+    auto it = by_il.find(kEps);
+    if (it != by_il.end())
+      for (const Arc* ab : it->second) {
+        int32_t nxt = get_state(sa, ab->dst, 2);
+        out.arcs[cur].push_back({kEps, ab->ol, ab->w, nxt});
+      }
+  }
+  return connect(out);
+}
+
+// ---------- rm_epsilon ----------
+
+Fst rm_epsilon(const Fst& f, bool log_semiring) {
+  auto plus = log_semiring ? log_plus : trop_plus;
+  int64_t n = f.num_states();
+  Fst out;
+  out.arcs.resize(n);
+  out.start = f.start;
+  for (int64_t s = 0; s < n; s++) {
+    std::unordered_map<int32_t, float> dist;
+    dist[(int32_t)s] = 0.0f;
+    std::vector<int32_t> work{(int32_t)s};
+    int64_t iters = 0;
+    while (!work.empty()) {
+      if (++iters > 100 * n + 100) { /* eps cycle: bail */ break; }
+      int32_t q = work.back(); work.pop_back();
+      for (auto& a : f.arcs[q]) {
+        if (a.il == kEps && a.ol == kEps) {
+          float nd = dist[q] + a.w;
+          auto it = dist.find(a.dst);
+          float old = it == dist.end() ? kInf : it->second;
+          float nw = plus(old, nd);
+          if (it == dist.end() || nw < old - 1e-12f) {
+            dist[a.dst] = nw;
+            work.push_back(a.dst);
+          }
+        }
+      }
+    }
+    float fw = kInf;
+    for (auto& [q, d] : dist) {
+      auto fit = f.finals.find(q);
+      if (fit != f.finals.end()) fw = plus(fw, d + fit->second);
+      for (auto& a : f.arcs[q])
+        if (a.il != kEps || a.ol != kEps)
+          out.arcs[s].push_back({a.il, a.ol, d + a.w, a.dst});
+    }
+    if (fw != kInf) out.finals[(int32_t)s] = fw;
+  }
+  return connect(out);
+}
+
+// ---------- determinize-star ----------
+
+struct Element {
+  int32_t state;
+  float w;
+  std::vector<int32_t> str;
+  bool operator<(const Element& o) const {
+    if (state != o.state) return state < o.state;
+    if (w != o.w) return w < o.w;
+    return str < o.str;
+  }
+};
+
+std::string subset_key(const std::vector<Element>& subset) {
+  std::string k;
+  k.reserve(subset.size() * 16);
+  for (auto& e : subset) {
+    k.append((const char*)&e.state, 4);
+    // round weight for stable hashing (mirrors python round(w, 9) intent)
+    float rw = std::round(e.w * 1e6f) / 1e6f;
+    k.append((const char*)&rw, 4);
+    int32_t len = (int32_t)e.str.size();
+    k.append((const char*)&len, 4);
+    k.append((const char*)e.str.data(), e.str.size() * 4);
+  }
+  return k;
+}
+
+void emit_chain(Fst& out, int32_t src, int32_t dst, int32_t il,
+                const std::vector<int32_t>& ostr, float w) {
+  if (ostr.empty()) {
+    out.arcs[src].push_back({il, kEps, w, dst});
+    return;
+  }
+  int32_t cur = src;
+  for (size_t k = 0; k < ostr.size(); k++) {
+    bool last = k + 1 == ostr.size();
+    int32_t nxt = last ? dst : out.add_state();
+    out.arcs[cur].push_back({k == 0 ? il : kEps, ostr[k],
+                             k == 0 ? w : 0.0f, nxt});
+    cur = nxt;
+  }
+}
+
+Fst determinize_star(const Fst& f, bool log_semiring,
+                     int64_t max_states, bool* ok) {
+  *ok = true;
+  auto plus = log_semiring ? log_plus : trop_plus;
+
+  struct PairHash {
+    size_t operator()(const std::pair<int32_t, std::string>& p) const {
+      return std::hash<std::string>()(p.second) * 31 + p.first;
+    }
+  };
+
+  auto eps_closure = [&](std::vector<Element> subset) {
+    std::unordered_map<std::pair<int32_t, std::string>, float, PairHash> best;
+    std::vector<Element> work(subset.begin(), subset.end());
+    int64_t iters = 0;
+    while (!work.empty()) {
+      if (++iters > 2000000) { *ok = false; return std::vector<Element>{}; }
+      Element e = std::move(work.back()); work.pop_back();
+      std::string skey((const char*)e.str.data(), e.str.size() * 4);
+      auto key = std::make_pair(e.state, skey);
+      auto it = best.find(key);
+      float old = it == best.end() ? kInf : it->second;
+      float nw = plus(old, e.w);
+      bool improved = it == best.end() ||
+          (log_semiring ? std::fabs(nw - old) > 1e-12f : nw < old - 1e-12f);
+      if (!improved && it != best.end()) continue;
+      best[key] = nw;
+      for (auto& a : f.arcs[e.state]) {
+        if (a.il == kEps) {
+          Element ne;
+          ne.state = a.dst;
+          ne.w = nw + a.w;
+          ne.str = e.str;
+          if (a.ol != kEps) ne.str.push_back(a.ol);
+          work.push_back(std::move(ne));
+        }
+      }
+    }
+    std::vector<Element> outv;
+    outv.reserve(best.size());
+    for (auto& [key, w] : best) {
+      Element e;
+      e.state = key.first;
+      e.w = w;
+      e.str.resize(key.second.size() / 4);
+      memcpy(e.str.data(), key.second.data(), key.second.size());
+      outv.push_back(std::move(e));
+    }
+    return outv;
+  };
+
+  // normalize: factor common weight + common output prefix
+  auto normalize = [&](std::vector<Element>& subset, float* common_w,
+                       std::vector<int32_t>* prefix) {
+    float cw;
+    if (!log_semiring) {
+      cw = kInf;
+      for (auto& e : subset) cw = std::min(cw, e.w);
+    } else {
+      cw = kInf;
+      for (auto& e : subset) cw = log_plus(cw, e.w);
+    }
+    std::vector<int32_t> pre = subset[0].str;
+    for (auto& e : subset) {
+      size_t k = 0;
+      while (k < pre.size() && k < e.str.size() && pre[k] == e.str[k]) k++;
+      pre.resize(k);
+    }
+    for (auto& e : subset) {
+      e.w -= cw;
+      e.str.erase(e.str.begin(), e.str.begin() + pre.size());
+    }
+    std::sort(subset.begin(), subset.end());
+    *common_w = cw;
+    *prefix = pre;
+  };
+
+  Fst out;
+  std::unordered_map<std::string, int32_t> subset_ids;
+  std::vector<std::vector<Element>> todo;
+
+  auto get_id = [&](std::vector<Element>& norm, bool* fresh) {
+    std::string key = subset_key(norm);
+    auto it = subset_ids.find(key);
+    if (it != subset_ids.end()) { *fresh = false; return it->second; }
+    int32_t sid = out.add_state();
+    subset_ids.emplace(std::move(key), sid);
+    *fresh = true;
+    return sid;
+  };
+
+  std::vector<Element> init{{(int32_t)f.start, 0.0f, {}}};
+  auto closed = eps_closure(init);
+  if (!*ok || closed.empty()) return out;
+  float w0; std::vector<int32_t> p0;
+  normalize(closed, &w0, &p0);
+  bool fresh;
+  int32_t sid0 = get_id(closed, &fresh);
+  if (w0 != 0.0f || !p0.empty()) {
+    int32_t real_start = out.add_state();
+    out.start = real_start;
+    emit_chain(out, real_start, sid0, kEps, p0, w0);
+  } else {
+    out.start = sid0;
+  }
+  todo.push_back(closed);
+
+  while (!todo.empty()) {
+    std::vector<Element> norm = std::move(todo.back()); todo.pop_back();
+    std::string key = subset_key(norm);
+    int32_t sid = subset_ids[key];
+    if ((int64_t)subset_ids.size() > max_states) { *ok = false; return out; }
+    // finals
+    std::map<std::vector<int32_t>, float> final_strings;
+    for (auto& e : norm) {
+      auto fit = f.finals.find(e.state);
+      if (fit != f.finals.end()) {
+        float total = e.w + fit->second;
+        auto it = final_strings.find(e.str);
+        final_strings[e.str] =
+            it == final_strings.end() ? total : plus(it->second, total);
+      }
+    }
+    for (auto& [ostr, w] : final_strings) {
+      if (ostr.empty()) {
+        auto it = out.finals.find(sid);
+        out.finals[sid] = it == out.finals.end() ? w : plus(it->second, w);
+      } else {
+        int32_t fstate = out.add_state();
+        out.finals[fstate] = 0.0f;
+        emit_chain(out, sid, fstate, kEps, ostr, w);
+      }
+    }
+    // transitions grouped by input label
+    std::map<int32_t, std::vector<Element>> by_label;
+    for (auto& e : norm)
+      for (auto& a : f.arcs[e.state])
+        if (a.il != kEps) {
+          Element ne;
+          ne.state = a.dst;
+          ne.w = e.w + a.w;
+          ne.str = e.str;
+          if (a.ol != kEps) ne.str.push_back(a.ol);
+          by_label[a.il].push_back(std::move(ne));
+        }
+    for (auto& [il, lst] : by_label) {
+      auto cl = eps_closure(lst);
+      if (!*ok) return out;
+      float cw; std::vector<int32_t> pre;
+      normalize(cl, &cw, &pre);
+      bool is_fresh;
+      int32_t nid = get_id(cl, &is_fresh);
+      emit_chain(out, sid, nid, il, pre, cw);
+      if (is_fresh) todo.push_back(std::move(cl));
+    }
+  }
+  return out;
+}
+
+// ---------- minimize_encoded ----------
+
+Fst minimize_encoded(const Fst& f) {
+  int64_t n = f.num_states();
+  if (n == 0) return f;
+  // encode arcs
+  std::map<std::tuple<int32_t, int32_t, int64_t>, int32_t> enc;
+  auto code = [&](const Arc& a) {
+    int64_t wq = (int64_t)std::llround((double)a.w * 1e7);
+    auto key = std::make_tuple(a.il, a.ol, wq);
+    auto it = enc.find(key);
+    if (it != enc.end()) return it->second;
+    int32_t c = (int32_t)enc.size();
+    enc.emplace(key, c);
+    return c;
+  };
+  std::vector<std::vector<std::pair<int32_t, int32_t>>> arcs_enc(n);
+  for (int64_t s = 0; s < n; s++) {
+    for (auto& a : f.arcs[s]) arcs_enc[s].push_back({code(a), a.dst});
+    std::sort(arcs_enc[s].begin(), arcs_enc[s].end());
+  }
+  std::vector<int32_t> part(n);
+  {
+    std::map<int64_t, int32_t> blocks;
+    for (int64_t s = 0; s < n; s++) {
+      float fw = f.final_weight((int32_t)s);
+      int64_t key = std::isinf(fw) ? INT64_MIN
+                                   : (int64_t)std::llround((double)fw * 1e7);
+      auto it = blocks.find(key);
+      if (it == blocks.end()) it = blocks.emplace(key, (int32_t)blocks.size()).first;
+      part[s] = it->second;
+    }
+  }
+  size_t n_blocks = 0;
+  while (true) {
+    std::unordered_map<std::string, int32_t> sig;
+    std::vector<int32_t> new_part(n);
+    for (int64_t s = 0; s < n; s++) {
+      std::string key;
+      key.append((const char*)&part[s], 4);
+      for (auto& [c, d] : arcs_enc[s]) {
+        key.append((const char*)&c, 4);
+        key.append((const char*)&part[d], 4);
+      }
+      auto it = sig.find(key);
+      if (it == sig.end()) it = sig.emplace(std::move(key), (int32_t)sig.size()).first;
+      new_part[s] = it->second;
+    }
+    bool stable = sig.size() == n_blocks;
+    n_blocks = sig.size();
+    part = std::move(new_part);
+    if (stable) break;
+  }
+  Fst out;
+  std::vector<int32_t> rep(n_blocks, -1);
+  for (int64_t s = 0; s < n; s++)
+    if (rep[part[s]] < 0) rep[part[s]] = out.add_state();
+  out.start = rep[part[f.start]];
+  std::vector<char> done(n_blocks, 0);
+  for (int64_t s = 0; s < n; s++) {
+    int32_t b = part[s];
+    if (done[b]) continue;
+    done[b] = 1;
+    for (auto& a : f.arcs[s])
+      out.arcs[rep[b]].push_back({a.il, a.ol, a.w, rep[part[a.dst]]});
+    auto it = f.finals.find((int32_t)s);
+    if (it != f.finals.end()) out.finals[rep[b]] = it->second;
+  }
+  return connect(out);
+}
+
+}  // namespace
+
+// ---------- C ABI ----------
+
+extern "C" {
+
+// ops: 1=connect 2=compose 3=rmepsilon(trop) 4=rmepsilon(log)
+//      5=determinize_star(trop) 6=determinize_star(log)
+//      7=minimize_encoded
+int fstlib_run(int op, const uint8_t* in1, const uint8_t* in2,
+               uint8_t** out, size_t* out_len) {
+  Fst result;
+  bool ok = true;
+  switch (op) {
+    case 1: result = connect(unpack(in1)); break;
+    case 2: result = compose(unpack(in1), unpack(in2)); break;
+    case 3: result = rm_epsilon(unpack(in1), false); break;
+    case 4: result = rm_epsilon(unpack(in1), true); break;
+    case 5: result = determinize_star(unpack(in1), false, 50000000, &ok); break;
+    case 6: result = determinize_star(unpack(in1), true, 50000000, &ok); break;
+    case 7: result = minimize_encoded(unpack(in1)); break;
+    default: return -1;
+  }
+  if (!ok) return -2;
+  *out = pack(result, out_len);
+  return 0;
+}
+
+void fstlib_free(uint8_t* p) { free(p); }
+
+}  // extern "C"

@@ -1,0 +1,674 @@
+"""Weighted finite-state transducers: the graph-construction core.
+
+Reimplements the subset of OpenFst + the reference's extensions that the
+CTC recipes use to build decoding graphs
+(reference: src/fstext/ determinize-star{,-inl}.h, table-matcher.h,
+remove-eps-local{,-inl}.h, fstext-utils-inl.h; src/fstbin/ fsttablecompose,
+fstdeterminizestar, fstminimizeencoded, fstaddselfloops, fstrmepslocal;
+asr_egs/wsj/utils/ctc_compile_dict_token.sh pipeline):
+
+  compose            (epsilon-filter composition = fsttablecompose)
+  determinize_star   (epsilon-removing determinization, tropical or log,
+                      with output-string factoring — fstdeterminizestar)
+  minimize_encoded   (arc-encoded acceptor minimization without weight
+                      pushing — fstminimizeencoded)
+  rm_epsilon         (weighted epsilon removal)
+  add_self_loops     (disambig self-loops — fstaddselfloops)
+  arcsort / connect / shortest_path / closure helpers
+
+Graph construction is offline, host-side work (runs once per language
+directory), so this is plain Python/numpy; the *decoder* consumes the
+result as compacted arc tables uploaded to the TPU (decoder/beam.py).
+
+Semirings: tropical (min, +) and log (-log(e^-a + e^-b), +) over floats,
+with +inf as semiring zero — matching fst::StdArc / LogArc.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+EPS = 0            # epsilon label id, matches OpenFst convention
+INF = float("inf")
+
+
+def log_plus(a: float, b: float) -> float:
+    """Log-semiring plus: -log(e^-a + e^-b)."""
+    if a == INF:
+        return b
+    if b == INF:
+        return a
+    lo, hi = (a, b) if a > b else (b, a)
+    return hi - math.log1p(math.exp(hi - lo))
+
+
+def trop_plus(a: float, b: float) -> float:
+    return a if a < b else b
+
+
+@dataclasses.dataclass
+class Arc:
+    ilabel: int
+    olabel: int
+    weight: float
+    nextstate: int
+
+
+class Fst:
+    """Mutable WFST; states are dense ints, arcs per-state lists."""
+
+    def __init__(self) -> None:
+        self.arcs: List[List[Arc]] = []
+        self.finals: Dict[int, float] = {}
+        self.start: int = -1
+
+    # ---- construction ----
+    def add_state(self) -> int:
+        self.arcs.append([])
+        return len(self.arcs) - 1
+
+    def add_arc(self, state: int, arc: Arc) -> None:
+        self.arcs[state].append(arc)
+
+    def set_start(self, s: int) -> None:
+        self.start = s
+
+    def set_final(self, s: int, weight: float = 0.0) -> None:
+        self.finals[s] = weight
+
+    @property
+    def num_states(self) -> int:
+        return len(self.arcs)
+
+    @property
+    def num_arcs(self) -> int:
+        return sum(len(a) for a in self.arcs)
+
+    def is_final(self, s: int) -> bool:
+        return s in self.finals
+
+    def final_weight(self, s: int) -> float:
+        return self.finals.get(s, INF)
+
+    def copy(self) -> "Fst":
+        f = Fst()
+        f.arcs = [[dataclasses.replace(a) for a in arcs] for arcs in self.arcs]
+        f.finals = dict(self.finals)
+        f.start = self.start
+        return f
+
+    # ---- text format (OpenFst compatible) ----
+    @classmethod
+    def from_text(cls, text: str) -> "Fst":
+        """Parse OpenFst text format (as fed to fstcompile)."""
+        f = cls()
+        ids: Dict[int, int] = {}
+
+        def state(x: int) -> int:
+            if x not in ids:
+                ids[x] = f.add_state()
+            return ids[x]
+
+        for line in text.strip().splitlines():
+            parts = line.split()
+            if not parts:
+                continue
+            if len(parts) >= 4:
+                s, d = state(int(parts[0])), state(int(parts[1]))
+                w = float(parts[4]) if len(parts) >= 5 else 0.0
+                f.add_arc(s, Arc(int(parts[2]), int(parts[3]), w, d))
+                if f.start < 0:
+                    f.set_start(s)
+            elif len(parts) <= 2:
+                s = state(int(parts[0]))
+                w = float(parts[1]) if len(parts) == 2 else 0.0
+                f.set_final(s, w)
+                if f.start < 0:
+                    f.set_start(s)
+        return f
+
+    def to_text(self) -> str:
+        lines = []
+        order = list(range(self.num_states))
+        if self.start > 0:
+            # OpenFst prints start state first
+            order.remove(self.start)
+            order.insert(0, self.start)
+        for s in order:
+            for a in self.arcs[s]:
+                if a.weight == 0.0:
+                    lines.append(f"{s} {a.nextstate} {a.ilabel} {a.olabel}")
+                else:
+                    lines.append(
+                        f"{s} {a.nextstate} {a.ilabel} {a.olabel} {a.weight}"
+                    )
+            if s in self.finals:
+                w = self.finals[s]
+                lines.append(f"{s}" if w == 0.0 else f"{s} {w}")
+        return "\n".join(lines) + "\n"
+
+    # ---- path enumeration (for tests / tiny FSTs) ----
+    def paths(self, max_paths: int = 100000) -> List[Tuple[Tuple[int, ...], Tuple[int, ...], float]]:
+        """All accepting paths as (ilabels, olabels, weight); raises on
+        cyclic FSTs that exceed max_paths."""
+        out = []
+        if self.start < 0:
+            return out
+        stack = [(self.start, (), (), 0.0, 0)]
+        while stack:
+            s, il, ol, w, depth = stack.pop()
+            if depth > 10000:
+                raise RuntimeError("path too deep (cyclic fst?)")
+            if s in self.finals:
+                out.append((il, ol, w + self.finals[s]))
+                if len(out) > max_paths:
+                    raise RuntimeError("too many paths")
+            for a in self.arcs[s]:
+                stack.append((
+                    a.nextstate,
+                    il + ((a.ilabel,) if a.ilabel != EPS else ()),
+                    ol + ((a.olabel,) if a.olabel != EPS else ()),
+                    w + a.weight,
+                    depth + 1,
+                ))
+        return out
+
+
+# --------------------------------------------------------------------------
+# basic algorithms
+# --------------------------------------------------------------------------
+
+def arcsort(fst: Fst, sort_type: str = "ilabel") -> Fst:
+    key = (lambda a: (a.ilabel, a.olabel)) if sort_type == "ilabel" else (
+        lambda a: (a.olabel, a.ilabel)
+    )
+    out = fst.copy()
+    for arcs in out.arcs:
+        arcs.sort(key=key)
+    return out
+
+
+def connect(fst: Fst) -> Fst:
+    """Trim states not on a successful path (fst::Connect)."""
+    n = fst.num_states
+    if fst.start < 0 or n == 0:
+        return Fst()
+    # forward reachable
+    fwd = np.zeros(n, dtype=bool)
+    stack = [fst.start]
+    fwd[fst.start] = True
+    while stack:
+        s = stack.pop()
+        for a in fst.arcs[s]:
+            if not fwd[a.nextstate]:
+                fwd[a.nextstate] = True
+                stack.append(a.nextstate)
+    # backward reachable from finals
+    rev: List[List[int]] = [[] for _ in range(n)]
+    for s in range(n):
+        for a in fst.arcs[s]:
+            rev[a.nextstate].append(s)
+    bwd = np.zeros(n, dtype=bool)
+    stack = [s for s in fst.finals if fwd[s]]
+    for s in stack:
+        bwd[s] = True
+    while stack:
+        s = stack.pop()
+        for p in rev[s]:
+            if not bwd[p]:
+                bwd[p] = True
+                stack.append(p)
+    keep = fwd & bwd
+    remap = -np.ones(n, dtype=np.int64)
+    out = Fst()
+    for s in range(n):
+        if keep[s]:
+            remap[s] = out.add_state()
+    if not keep[fst.start]:
+        return Fst()
+    out.set_start(int(remap[fst.start]))
+    for s in range(n):
+        if not keep[s]:
+            continue
+        for a in fst.arcs[s]:
+            if keep[a.nextstate]:
+                out.add_arc(
+                    int(remap[s]),
+                    Arc(a.ilabel, a.olabel, a.weight, int(remap[a.nextstate])),
+                )
+        if s in fst.finals:
+            out.set_final(int(remap[s]), fst.finals[s])
+    return out
+
+
+def compose(a: Fst, b: Fst) -> Fst:
+    """Composition with the epsilon-sequencing filter
+    (equivalent to fsttablecompose; reference src/fstext/table-matcher.h).
+
+    The filter canonicalizes each maximal epsilon block to the order
+    (a-alone)* (b-alone)*: a-alone moves are forbidden after a b-alone
+    move (filter state 2), so every redundant interleaving has exactly one
+    surviving representative.  Filter: 0 = neutral, 1 = did a-alone,
+    2 = did b-alone; any matched (non-eps) move resets to 0."""
+    out = Fst()
+    state_map: Dict[Tuple[int, int, int], int] = {}
+
+    def get_state(sa: int, sb: int, f: int) -> int:
+        key = (sa, sb, f)
+        if key not in state_map:
+            state_map[key] = out.add_state()
+        return state_map[key]
+
+    if a.start < 0 or b.start < 0:
+        return out
+    start = get_state(a.start, b.start, 0)
+    out.set_start(start)
+    stack = [(a.start, b.start, 0)]
+    seen = {(a.start, b.start, 0)}
+    while stack:
+        sa, sb, f = stack.pop()
+        cur = get_state(sa, sb, f)
+        if a.is_final(sa) and b.is_final(sb):
+            out.set_final(cur, a.final_weight(sa) + b.final_weight(sb))
+
+        def emit(na, nb, nf, il, ol, w):
+            nxt = get_state(na, nb, nf)
+            out.add_arc(cur, Arc(il, ol, w, nxt))
+            if (na, nb, nf) not in seen:
+                seen.add((na, nb, nf))
+                stack.append((na, nb, nf))
+
+        arcs_b_by_ilabel: Dict[int, List[Arc]] = {}
+        for ab in b.arcs[sb]:
+            arcs_b_by_ilabel.setdefault(ab.ilabel, []).append(ab)
+
+        for aa in a.arcs[sa]:
+            if aa.olabel == EPS:
+                # a moves alone (b stays): forbidden after a b-alone move
+                if f in (0, 1):
+                    emit(aa.nextstate, sb, 1, aa.ilabel, EPS, aa.weight)
+            else:
+                for ab in arcs_b_by_ilabel.get(aa.olabel, []):
+                    emit(
+                        aa.nextstate, ab.nextstate, 0,
+                        aa.ilabel, ab.olabel, aa.weight + ab.weight,
+                    )
+        # b moves alone on input-eps: always allowed (canonical A*B* order)
+        for ab in arcs_b_by_ilabel.get(EPS, []):
+            emit(sa, ab.nextstate, 2, EPS, ab.olabel, ab.weight)
+    return connect(out)
+
+
+def rm_epsilon(fst: Fst, semiring: str = "tropical") -> Fst:
+    """Full weighted epsilon removal (fst::RmEpsilon semantics).
+
+    Computes per-state epsilon-closure distances and splices non-eps arcs /
+    final weights through them."""
+    plus = trop_plus if semiring == "tropical" else log_plus
+    n = fst.num_states
+    out = Fst()
+    for _ in range(n):
+        out.add_state()
+    out.set_start(fst.start)
+
+    for s in range(n):
+        # epsilon-closure from s: shortest distance over eps-only arcs
+        dist: Dict[int, float] = {s: 0.0}
+        # Bellman-Ford-ish worklist (graphs here are small & acyclic in eps
+        # after graph-build; guard against infinite loops with iteration cap)
+        work = [s]
+        iters = 0
+        while work:
+            iters += 1
+            if iters > 100 * n + 100:
+                raise RuntimeError("epsilon cycle with gain (non-convergent)")
+            q = work.pop()
+            for a in fst.arcs[q]:
+                if a.ilabel == EPS and a.olabel == EPS:
+                    nd = dist[q] + a.weight
+                    old = dist.get(a.nextstate, INF)
+                    new = plus(old, nd)
+                    if new < old - 1e-12 or a.nextstate not in dist:
+                        dist[a.nextstate] = new
+                        work.append(a.nextstate)
+        fw = INF
+        for q, d in dist.items():
+            if q in fst.finals:
+                fw = plus(fw, d + fst.finals[q])
+            for a in fst.arcs[q]:
+                if a.ilabel != EPS or a.olabel != EPS:
+                    out.add_arc(
+                        s, Arc(a.ilabel, a.olabel, d + a.weight, a.nextstate)
+                    )
+        if fw != INF:
+            out.set_final(s, fw)
+    return connect(out)
+
+
+def add_self_loops(
+    fst: Fst, isyms: Sequence[int], osyms: Sequence[int]
+) -> Fst:
+    """Add self-loops with (isym, osym) pairs at every state that has
+    epsilon output arcs leaving it or is final
+    (reference: src/fstbin/fstaddselfloops.cc:43 — used to pass disambig
+    symbols through L)."""
+    out = fst.copy()
+    for s in range(out.num_states):
+        needs = s in out.finals or any(
+            a.olabel == EPS for a in out.arcs[s]
+        )
+        if needs:
+            for i, o in zip(isyms, osyms):
+                out.add_arc(s, Arc(i, o, 0.0, s))
+    return out
+
+
+# --------------------------------------------------------------------------
+# determinize-star (epsilon-removing determinization with output strings)
+# --------------------------------------------------------------------------
+
+def determinize_star(
+    fst: Fst, semiring: str = "tropical", max_states: int = 10_000_000
+) -> Fst:
+    """Epsilon-removing determinization
+    (reference: src/fstext/determinize-star.h:85-106).
+
+    Input must be functional (e.g. L∘G with disambiguation symbols).
+    Subsets are sets of (state, residual_weight, residual_output_string);
+    epsilon arcs (input side) are closed over inside each subset.  When a
+    transition emits more than one output label, chains of intermediate
+    states are created (the reference's "gallic" factoring).
+    """
+    plus = trop_plus if semiring == "tropical" else log_plus
+
+    def eps_closure(
+        subset: List[Tuple[int, float, Tuple[int, ...]]]
+    ) -> List[Tuple[int, float, Tuple[int, ...]]]:
+        """Close over input-epsilon arcs, combining weights per
+        (state, out-string)."""
+        best: Dict[Tuple[int, Tuple[int, ...]], float] = {}
+        work = list(subset)
+        iters = 0
+        while work:
+            iters += 1
+            if iters > 2_000_000:
+                raise RuntimeError("determinize-star: epsilon cycle?")
+            s, w, o = work.pop()
+            key = (s, o)
+            old = best.get(key, INF)
+            new = plus(old, w)
+            improved = key not in best or (
+                new < old - 1e-12 if semiring == "tropical"
+                else abs(new - old) > 1e-12
+            )
+            # in log semiring weights accumulate; to guarantee termination
+            # require strict improvement beyond epsilon
+            if not improved and key in best:
+                continue
+            best[key] = new
+            for a in fst.arcs[s]:
+                if a.ilabel == EPS:
+                    no = o + ((a.olabel,) if a.olabel != EPS else ())
+                    work.append((a.nextstate, new + a.weight, no))
+        return [(s, w, o) for (s, o), w in best.items()]
+
+    def normalize(
+        subset: List[Tuple[int, float, Tuple[int, ...]]]
+    ) -> Tuple[float, Tuple[int, ...], Tuple]:
+        """Factor out common weight and common output prefix."""
+        if semiring == "tropical":
+            common_w = min(w for _, w, _ in subset)
+        else:
+            common_w = INF
+            for _, w, _ in subset:
+                common_w = plus(common_w, w)
+        strings = [o for _, _, o in subset]
+        prefix = strings[0]
+        for o in strings[1:]:
+            k = 0
+            while k < len(prefix) and k < len(o) and prefix[k] == o[k]:
+                k += 1
+            prefix = prefix[:k]
+        norm = tuple(
+            sorted(
+                (s, round(w - common_w, 9), o[len(prefix):])
+                for s, w, o in subset
+            )
+        )
+        return common_w, prefix, norm
+
+    out = Fst()
+    subset_ids: Dict[Tuple, int] = {}
+
+    def get_id(norm: Tuple) -> Tuple[int, bool]:
+        if norm in subset_ids:
+            return subset_ids[norm], False
+        sid = out.add_state()
+        subset_ids[norm] = sid
+        return sid, True
+
+    init = eps_closure([(fst.start, 0.0, ())])
+    w0, p0, norm0 = normalize(init)
+    # initial common weight/prefix must be empty for a clean start state;
+    # if not, add an epsilon arc from a fresh start.
+    sid0, _ = get_id(norm0)
+    if w0 != 0.0 or p0:
+        real_start = out.add_state()
+        out.set_start(real_start)
+        _emit_chain(out, real_start, sid0, EPS, p0, w0)
+    else:
+        out.set_start(sid0)
+
+    work = [norm0]
+    processed: Set[Tuple] = {norm0}
+    while work:
+        norm = work.pop()
+        sid = subset_ids[norm]
+        if len(subset_ids) > max_states:
+            raise RuntimeError("determinize-star: state blowup")
+        # final weight: any member final (with residual string must be empty
+        # to be truly final; strings remaining at final states are emitted
+        # via epsilon chains)
+        fw = INF
+        final_strings: Dict[Tuple[int, ...], float] = {}
+        for s, w, o in norm:
+            if fst.is_final(s):
+                total = w + fst.final_weight(s)
+                final_strings[o] = plus(final_strings.get(o, INF), total)
+        if final_strings:
+            if set(final_strings) == {()}:
+                out.set_final(sid, final_strings[()])
+            else:
+                for o, w in final_strings.items():
+                    if o == ():
+                        out.set_final(sid, plus(out.final_weight(sid), w))
+                    else:
+                        # emit residual output via eps chain to a final state
+                        fstate = out.add_state()
+                        out.set_final(fstate, 0.0)
+                        _emit_chain(out, sid, fstate, EPS, o, w)
+        # group transitions by input label
+        by_label: Dict[int, List[Tuple[int, float, Tuple[int, ...]]]] = {}
+        for s, w, o in norm:
+            for a in fst.arcs[s]:
+                if a.ilabel != EPS:
+                    no = o + ((a.olabel,) if a.olabel != EPS else ())
+                    by_label.setdefault(a.ilabel, []).append(
+                        (a.nextstate, w + a.weight, no)
+                    )
+        for ilabel, lst in sorted(by_label.items()):
+            closed = eps_closure(lst)
+            w_c, prefix, nnorm = normalize(closed)
+            nid, fresh = get_id(nnorm)
+            _emit_chain(out, sid, nid, ilabel, prefix, w_c)
+            if fresh and nnorm not in processed:
+                processed.add(nnorm)
+                work.append(nnorm)
+    return out
+
+
+def _emit_chain(
+    out: Fst, src: int, dst: int, ilabel: int,
+    ostring: Tuple[int, ...], weight: float,
+) -> None:
+    """Arc emitting an output string: intermediate eps-input states."""
+    if len(ostring) == 0:
+        out.add_arc(src, Arc(ilabel, EPS, weight, dst))
+        return
+    cur = src
+    for k, o in enumerate(ostring):
+        last = k == len(ostring) - 1
+        il = ilabel if k == 0 else EPS
+        w = weight if k == 0 else 0.0
+        nxt = dst if last else out.add_state()
+        out.add_arc(cur, Arc(il, o, w, nxt))
+        cur = nxt
+
+
+# --------------------------------------------------------------------------
+# minimize-encoded
+# --------------------------------------------------------------------------
+
+def minimize_encoded(fst: Fst) -> Fst:
+    """Minimize as an unweighted acceptor over encoded
+    (ilabel, olabel, weight) triples — no weight pushing
+    (reference: src/fstbin/fstminimizeencoded.cc:42).
+
+    Partition refinement (Moore's algorithm); assumes deterministic input
+    (as produced by determinize_star)."""
+    n = fst.num_states
+    if n == 0:
+        return fst.copy()
+    # encode arcs
+    enc: Dict[Tuple[int, int, float], int] = {}
+
+    def code(a: Arc) -> int:
+        key = (a.ilabel, a.olabel, round(a.weight, 7))
+        if key not in enc:
+            enc[key] = len(enc)
+        return enc[key]
+
+    arcs_enc: List[List[Tuple[int, int]]] = [
+        sorted((code(a), a.nextstate) for a in arcs) for arcs in fst.arcs
+    ]
+    # initial partition: by final weight
+    part = {}
+    blocks: Dict[Tuple, int] = {}
+    for s in range(n):
+        key = (round(fst.final_weight(s), 7),)
+        if key not in blocks:
+            blocks[key] = len(blocks)
+        part[s] = blocks[key]
+    while True:
+        sig: Dict[Tuple, int] = {}
+        new_part = {}
+        for s in range(n):
+            signature = (
+                part[s],
+                tuple((c, part[d]) for c, d in arcs_enc[s]),
+            )
+            if signature not in sig:
+                sig[signature] = len(sig)
+            new_part[s] = sig[signature]
+        if len(sig) == len(set(part.values())):
+            part = new_part
+            break
+        part = new_part
+    # build minimized fst
+    out = Fst()
+    rep: Dict[int, int] = {}
+    for s in range(n):
+        if part[s] not in rep:
+            rep[part[s]] = out.add_state()
+    out.set_start(rep[part[fst.start]])
+    done: Set[int] = set()
+    for s in range(n):
+        b = part[s]
+        if b in done:
+            continue
+        done.add(b)
+        for a in fst.arcs[s]:
+            out.add_arc(
+                rep[b], Arc(a.ilabel, a.olabel, a.weight, rep[part[a.nextstate]])
+            )
+        if fst.is_final(s):
+            out.set_final(rep[b], fst.final_weight(s))
+    return connect(out)
+
+
+# --------------------------------------------------------------------------
+# shortest path (tropical)
+# --------------------------------------------------------------------------
+
+def shortest_path(fst: Fst) -> Tuple[List[int], List[int], float]:
+    """Single shortest path (tropical): returns (ilabels, olabels, weight).
+
+    Dijkstra over non-negative weights falls back to Bellman-Ford when
+    negative arcs exist (lattices can have negative LM scales)."""
+    import heapq
+
+    n = fst.num_states
+    has_negative = any(
+        a.weight < 0 for arcs in fst.arcs for a in arcs
+    )
+    dist = [INF] * n
+    back: List[Optional[Tuple[int, Arc]]] = [None] * n
+    dist[fst.start] = 0.0
+    if not has_negative:
+        pq = [(0.0, fst.start)]
+        while pq:
+            d, s = heapq.heappop(pq)
+            if d > dist[s]:
+                continue
+            for a in fst.arcs[s]:
+                nd = d + a.weight
+                if nd < dist[a.nextstate]:
+                    dist[a.nextstate] = nd
+                    back[a.nextstate] = (s, a)
+                    heapq.heappush(pq, (nd, a.nextstate))
+    else:
+        for _ in range(n):
+            changed = False
+            for s in range(n):
+                if dist[s] == INF:
+                    continue
+                for a in fst.arcs[s]:
+                    nd = dist[s] + a.weight
+                    if nd < dist[a.nextstate] - 1e-12:
+                        dist[a.nextstate] = nd
+                        back[a.nextstate] = (s, a)
+                        changed = True
+            if not changed:
+                break
+    best_s, best_w = -1, INF
+    for s, fw in fst.finals.items():
+        if dist[s] + fw < best_w:
+            best_w = dist[s] + fw
+            best_s = s
+    if best_s < 0:
+        return [], [], INF
+    ilabels: List[int] = []
+    olabels: List[int] = []
+    s = best_s
+    while back[s] is not None:
+        p, a = back[s]
+        if a.ilabel != EPS:
+            ilabels.append(a.ilabel)
+        if a.olabel != EPS:
+            olabels.append(a.olabel)
+        s = p
+    ilabels.reverse()
+    olabels.reverse()
+    return ilabels, olabels, best_w
+
+
+def is_deterministic(fst: Fst) -> bool:
+    for arcs in fst.arcs:
+        labels = [a.ilabel for a in arcs]
+        if EPS in labels or len(labels) != len(set(labels)):
+            return False
+    return True

@@ -1,0 +1,172 @@
+"""ctypes bridge to the native WFST library (csrc/fstlib.cpp).
+
+Builds the shared library on demand with g++ (cached next to the source)
+and exposes the same API as eesen_tpu.decoder.fst, operating on `Fst`
+objects through a flat serialized buffer.  Falls back to the pure-Python
+implementations if no compiler is available.
+
+Use `native_available()` to check, and the `compose/determinize_star/
+minimize_encoded/rm_epsilon/connect` functions — they dispatch to C++ when
+possible.  Cross-validated against the Python versions by
+tests/test_fst_native.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+from eesen_tpu.decoder import fst as pyfst
+from eesen_tpu.utils.logging import get_logger
+
+log = get_logger("decoder.fst_native")
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "csrc", "fstlib.cpp",
+)
+_LIB_PATH = os.path.join(os.path.dirname(_SRC), "libfstlib.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_LIB_PATH) and (
+        os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)
+    ):
+        return _LIB_PATH
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC,
+             "-o", _LIB_PATH],
+            check=True, capture_output=True, timeout=300,
+        )
+        return _LIB_PATH
+    except Exception as e:  # pragma: no cover - depends on toolchain
+        log.warning("fstlib build failed (%s); using pure-Python FST ops", e)
+        return None
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        path = _build()
+        if path is None:
+            return None
+        lib = ctypes.CDLL(path)
+        lib.fstlib_run.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.fstlib_run.restype = ctypes.c_int
+        lib.fstlib_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _get_lib() is not None
+
+
+# ---- serialization ----
+
+def pack_fst(f: pyfst.Fst) -> bytes:
+    n = f.num_states
+    srcs, ils, ols, ws, dsts = [], [], [], [], []
+    for s in range(n):
+        for a in f.arcs[s]:
+            srcs.append(s); ils.append(a.ilabel); ols.append(a.olabel)
+            ws.append(a.weight); dsts.append(a.nextstate)
+    fin = sorted(f.finals.items())
+    parts = [
+        np.asarray([n, f.start, len(srcs)], dtype=np.int64).tobytes(),
+        np.asarray(srcs, dtype=np.int32).tobytes(),
+        np.asarray(ils, dtype=np.int32).tobytes(),
+        np.asarray(ols, dtype=np.int32).tobytes(),
+        np.asarray(ws, dtype=np.float32).tobytes(),
+        np.asarray(dsts, dtype=np.int32).tobytes(),
+        np.asarray([len(fin)], dtype=np.int64).tobytes(),
+        np.asarray([s for s, _ in fin], dtype=np.int32).tobytes(),
+        np.asarray([w for _, w in fin], dtype=np.float32).tobytes(),
+    ]
+    return b"".join(parts)
+
+
+def unpack_fst(buf: bytes) -> pyfst.Fst:
+    off = 0
+    hdr = np.frombuffer(buf, dtype=np.int64, count=3, offset=off)
+    off += 24
+    n_states, start, n_arcs = (int(x) for x in hdr)
+    srcs = np.frombuffer(buf, np.int32, n_arcs, off); off += 4 * n_arcs
+    ils = np.frombuffer(buf, np.int32, n_arcs, off); off += 4 * n_arcs
+    ols = np.frombuffer(buf, np.int32, n_arcs, off); off += 4 * n_arcs
+    ws = np.frombuffer(buf, np.float32, n_arcs, off); off += 4 * n_arcs
+    dsts = np.frombuffer(buf, np.int32, n_arcs, off); off += 4 * n_arcs
+    n_fin = int(np.frombuffer(buf, np.int64, 1, off)[0]); off += 8
+    fs = np.frombuffer(buf, np.int32, n_fin, off); off += 4 * n_fin
+    fw = np.frombuffer(buf, np.float32, n_fin, off)
+    f = pyfst.Fst()
+    for _ in range(n_states):
+        f.add_state()
+    f.start = start
+    for i in range(n_arcs):
+        f.add_arc(
+            int(srcs[i]),
+            pyfst.Arc(int(ils[i]), int(ols[i]), float(ws[i]), int(dsts[i])),
+        )
+    for i in range(n_fin):
+        f.set_final(int(fs[i]), float(fw[i]))
+    return f
+
+
+def _run(op: int, f1: pyfst.Fst, f2: Optional[pyfst.Fst] = None) -> pyfst.Fst:
+    lib = _get_lib()
+    assert lib is not None
+    b1 = pack_fst(f1)
+    b2 = pack_fst(f2) if f2 is not None else b1
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    rc = lib.fstlib_run(op, b1, b2, ctypes.byref(out), ctypes.byref(out_len))
+    if rc != 0:
+        raise RuntimeError(f"fstlib op {op} failed rc={rc}")
+    try:
+        buf = ctypes.string_at(out, out_len.value)
+    finally:
+        lib.fstlib_free(out)
+    return unpack_fst(buf)
+
+
+# ---- dispatching API ----
+
+def connect(f: pyfst.Fst) -> pyfst.Fst:
+    return _run(1, f) if native_available() else pyfst.connect(f)
+
+
+def compose(a: pyfst.Fst, b: pyfst.Fst) -> pyfst.Fst:
+    return _run(2, a, b) if native_available() else pyfst.compose(a, b)
+
+
+def rm_epsilon(f: pyfst.Fst, semiring: str = "tropical") -> pyfst.Fst:
+    if native_available():
+        return _run(3 if semiring == "tropical" else 4, f)
+    return pyfst.rm_epsilon(f, semiring)
+
+
+def determinize_star(f: pyfst.Fst, semiring: str = "tropical") -> pyfst.Fst:
+    if native_available():
+        return _run(5 if semiring == "tropical" else 6, f)
+    return pyfst.determinize_star(f, semiring)
+
+
+def minimize_encoded(f: pyfst.Fst) -> pyfst.Fst:
+    return _run(7, f) if native_available() else pyfst.minimize_encoded(f)

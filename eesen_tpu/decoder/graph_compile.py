@@ -1,0 +1,153 @@
+"""Compile a TLG graph into compact device arc tables for TPU decoding.
+
+The reference decodes on the CPU with pointer-chasing token passing
+(src/decoder/lattice-faster-decoder.cc).  On TPU the graph must become
+dense arrays with STATIC per-step shapes.  Two transformations make that
+possible:
+
+1. CSR arc tables, split into emitting (ilabel > 0) and epsilon
+   (ilabel == 0) arcs — mirroring the decoder's ProcessEmitting /
+   ProcessNonemitting phases.
+
+2. **Out-degree capping**: any state with more than `max_degree` arcs of a
+   kind is split into a balanced tree of auxiliary states connected by
+   epsilon arcs, bounding every state's out-degree.  The active-beam
+   expansion then has the static shape [K active x D arcs], which is what
+   `lax.scan`/top_k need.  (Aux states add eps-closure depth
+   logarithmically; the search runs a fixed number of eps iterations.)
+
+The compiled graph is a set of numpy arrays ready to `jax.device_put`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+from eesen_tpu.decoder.fst import EPS, Arc, Fst
+
+F32_INF = np.float32(np.inf)
+
+
+@dataclasses.dataclass
+class CompiledGraph:
+    """Device-ready TLG. All arrays are numpy; upload with device_put."""
+    num_states: int                 # incl. auxiliary states
+    start: int
+    # emitting arcs CSR (ilabel > 0)
+    emit_offsets: np.ndarray        # [N+1] int32
+    emit_ilabel: np.ndarray         # [Ee] int32 (graph token id; col = id-1)
+    emit_olabel: np.ndarray         # [Ee] int32
+    emit_weight: np.ndarray         # [Ee] float32
+    emit_dst: np.ndarray            # [Ee] int32
+    # epsilon arcs CSR (ilabel == 0)
+    eps_offsets: np.ndarray         # [N+1] int32
+    eps_olabel: np.ndarray          # [En] int32
+    eps_weight: np.ndarray          # [En] float32
+    eps_dst: np.ndarray             # [En] int32
+    final_weight: np.ndarray        # [N] float32 (inf = non-final)
+    max_emit_degree: int
+    max_eps_degree: int
+    eps_depth: int                  # max eps-chain length (closure iters)
+
+    @property
+    def num_emit_arcs(self) -> int:
+        return len(self.emit_ilabel)
+
+    @property
+    def num_eps_arcs(self) -> int:
+        return len(self.eps_dst)
+
+
+def _cap_degree(fst: Fst, max_degree: int) -> Fst:
+    """Split states whose out-degree exceeds max_degree into balanced
+    epsilon trees. Returns a new Fst with identical weighted behavior."""
+    out = fst.copy()
+    s = 0
+    while s < out.num_states:   # new states appended get revisited
+        arcs = out.arcs[s]
+        if len(arcs) > max_degree:
+            # keep the first (max_degree - 1) arcs; push the rest down to a
+            # fresh aux state linked by a free epsilon arc
+            keep = arcs[: max_degree - 1]
+            rest = arcs[max_degree - 1:]
+            aux = out.add_state()
+            out.arcs[aux] = rest
+            out.arcs[s] = keep + [Arc(EPS, EPS, 0.0, aux)]
+        s += 1
+    return out
+
+
+def _eps_depth(fst: Fst, cap: int = 64) -> int:
+    """Longest epsilon-arc chain (for closure iteration count)."""
+    n = fst.num_states
+    depth = np.zeros(n, dtype=np.int32)
+    # iterate to fixpoint (eps subgraph of TLG is acyclic by construction;
+    # guard with cap)
+    for it in range(cap):
+        changed = False
+        for s in range(n):
+            for a in fst.arcs[s]:
+                if a.ilabel == EPS:
+                    d = depth[s] + 1
+                    if d > depth[a.nextstate]:
+                        depth[a.nextstate] = d
+                        changed = True
+        if not changed:
+            return int(depth.max())
+    return cap
+
+
+def compile_graph(fst: Fst, max_degree: int = 16) -> CompiledGraph:
+    """Compact a TLG Fst into CSR device tables with bounded out-degree."""
+    capped = _cap_degree(fst, max_degree)
+    n = capped.num_states
+
+    emit_rows: List[List[Arc]] = [[] for _ in range(n)]
+    eps_rows: List[List[Arc]] = [[] for _ in range(n)]
+    for s in range(n):
+        for a in capped.arcs[s]:
+            (eps_rows if a.ilabel == EPS else emit_rows)[s].append(a)
+
+    def build_csr(rows, with_ilabel):
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        for s in range(n):
+            offsets[s + 1] = offsets[s] + len(rows[s])
+        e = int(offsets[-1])
+        il = np.zeros(e, dtype=np.int32) if with_ilabel else None
+        ol = np.zeros(e, dtype=np.int32)
+        w = np.zeros(e, dtype=np.float32)
+        d = np.zeros(e, dtype=np.int32)
+        k = 0
+        for s in range(n):
+            for a in rows[s]:
+                if with_ilabel:
+                    il[k] = a.ilabel
+                ol[k] = a.olabel
+                w[k] = a.weight
+                d[k] = a.nextstate
+                k += 1
+        return offsets, il, ol, w, d
+
+    eo, eil, eol, ew, ed = build_csr(emit_rows, True)
+    no, _, nol, nw, nd = build_csr(eps_rows, False)
+
+    final = np.full(n, np.inf, dtype=np.float32)
+    for s, w in capped.finals.items():
+        final[s] = w
+
+    max_e = max((len(r) for r in emit_rows), default=0)
+    max_n = max((len(r) for r in eps_rows), default=0)
+    return CompiledGraph(
+        num_states=n,
+        start=capped.start,
+        emit_offsets=eo, emit_ilabel=eil, emit_olabel=eol,
+        emit_weight=ew, emit_dst=ed,
+        eps_offsets=no, eps_olabel=nol, eps_weight=nw, eps_dst=nd,
+        final_weight=final,
+        max_emit_degree=max_e,
+        max_eps_degree=max_n,
+        eps_depth=_eps_depth(capped),
+    )

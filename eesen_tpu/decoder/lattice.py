@@ -1,0 +1,276 @@
+"""Lattices: generation from beam-search outputs + post-processing.
+
+The reference generates lattices during decoding via per-token ForwardLinks
+(reference: src/decoder/lattice-faster-decoder.{h,cc}:209-266 Token/
+ForwardLink, GetRawLattice :111) and post-processes them with separate
+binaries (src/decoderbin/: lattice-scale, lattice-best-path,
+lattice-to-nbest, nbest-to-ctm, lattice-prune; src/lat/kaldi-lattice.h:32-46
+the (graph_cost, acoustic_cost) pair semiring).
+
+Here the TPU beam search (decoder/beam.py) emits per-frame active sets; the
+lattice is reconstructed host-side by re-expanding arcs between surviving
+tokens of consecutive frames — giving the same structure the reference
+builds online.  Lattice arcs carry (graph_cost, acoustic_cost) separately,
+so acoustic-scale sweeps (local/score.sh:44-55) rescale without
+re-decoding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from eesen_tpu.decoder.beam import BeamOutputs
+from eesen_tpu.decoder.graph_compile import CompiledGraph
+
+INF = float("inf")
+
+
+@dataclasses.dataclass
+class LatticeArc:
+    """Arc with the two-part weight of the reference's LatticeWeight
+    (fstext/lattice-weight.h:47: graph cost + acoustic cost kept apart)."""
+    ilabel: int          # graph token id (frame-level), 0 for eps
+    olabel: int          # word id, 0 for eps
+    graph_cost: float
+    acoustic_cost: float
+    nextstate: int
+
+
+class Lattice:
+    """Host lattice: states in topological (frame) order, arcs between
+    surviving beam tokens."""
+
+    def __init__(self) -> None:
+        self.arcs: List[List[LatticeArc]] = []
+        self.finals: Dict[int, float] = {}
+        self.start: int = 0
+        self.state_frame: List[int] = []
+
+    def add_state(self, frame: int) -> int:
+        self.arcs.append([])
+        self.state_frame.append(frame)
+        return len(self.arcs) - 1
+
+    @property
+    def num_states(self) -> int:
+        return len(self.arcs)
+
+    @property
+    def num_arcs(self) -> int:
+        return sum(len(a) for a in self.arcs)
+
+    def scale(self, acoustic_scale: float, lm_scale: float = 1.0) -> None:
+        """lattice-scale semantics (decoderbin/lattice-scale.cc)."""
+        for arcs in self.arcs:
+            for a in arcs:
+                a.acoustic_cost *= acoustic_scale
+                a.graph_cost *= lm_scale
+
+    def best_path(self) -> Tuple[List[int], List[int], float]:
+        """Viterbi over combined cost -> (ilabels, olabels, cost)
+        (decoderbin/lattice-best-path.cc)."""
+        n = self.num_states
+        dist = np.full(n, INF)
+        back: List[Optional[Tuple[int, LatticeArc]]] = [None] * n
+        dist[self.start] = 0.0
+        order = np.argsort(np.asarray(self.state_frame), kind="stable")
+        for s in order:
+            if not np.isfinite(dist[s]):
+                continue
+            for a in self.arcs[s]:
+                nd = dist[s] + a.graph_cost + a.acoustic_cost
+                if nd < dist[a.nextstate]:
+                    dist[a.nextstate] = nd
+                    back[a.nextstate] = (int(s), a)
+        best_s, best_c = -1, INF
+        for s, fw in self.finals.items():
+            if dist[s] + fw < best_c:
+                best_c = dist[s] + fw
+                best_s = s
+        if best_s < 0:
+            return [], [], INF
+        ils: List[int] = []
+        ols: List[int] = []
+        s = best_s
+        while back[s] is not None:
+            p, a = back[s]
+            if a.ilabel:
+                ils.append(a.ilabel)
+            if a.olabel:
+                ols.append(a.olabel)
+            s = p
+        ils.reverse()
+        ols.reverse()
+        return ils, ols, best_c
+
+    def nbest(self, n: int) -> List[Tuple[List[int], float]]:
+        """N shortest word paths (lattice-to-nbest semantics), by A*-free
+        k-shortest-paths (heap of partial paths; lattices are small DAGs)."""
+        results: List[Tuple[List[int], float]] = []
+        # heap entries: (cost_so_far, counter, state, words)
+        cnt = 0
+        heap = [(0.0, cnt, self.start, [])]
+        visits: Dict[int, int] = {}
+        while heap and len(results) < n:
+            cost, _, s, words = heapq.heappop(heap)
+            visits[s] = visits.get(s, 0) + 1
+            if visits[s] > n:
+                continue
+            if s in self.finals:
+                results.append((words, cost + self.finals[s]))
+            for a in self.arcs[s]:
+                cnt += 1
+                nw = words + ([a.olabel] if a.olabel else [])
+                heapq.heappush(
+                    heap,
+                    (cost + a.graph_cost + a.acoustic_cost, cnt,
+                     a.nextstate, nw),
+                )
+        return results
+
+    def word_times(self) -> List[Tuple[int, int, int]]:
+        """Best-path (word, start_frame, end_frame) triples for CTM output
+        (nbest-to-ctm semantics: word boundaries at olabel frames)."""
+        n = self.num_states
+        dist = np.full(n, INF)
+        back: List[Optional[Tuple[int, LatticeArc]]] = [None] * n
+        dist[self.start] = 0.0
+        order = np.argsort(np.asarray(self.state_frame), kind="stable")
+        for s in order:
+            if not np.isfinite(dist[s]):
+                continue
+            for a in self.arcs[s]:
+                nd = dist[s] + a.graph_cost + a.acoustic_cost
+                if nd < dist[a.nextstate]:
+                    dist[a.nextstate] = nd
+                    back[a.nextstate] = (int(s), a)
+        best_s, best_c = -1, INF
+        for s, fw in self.finals.items():
+            if dist[s] + fw < best_c:
+                best_c, best_s = dist[s] + fw, s
+        out: List[Tuple[int, int, int]] = []
+        if best_s < 0:
+            return out
+        s = best_s
+        last_frame = self.state_frame[s]
+        while back[s] is not None:
+            p, a = back[s]
+            if a.olabel:
+                out.append((a.olabel, self.state_frame[p], last_frame))
+                last_frame = self.state_frame[p]
+            s = p
+        out.reverse()
+        return out
+
+
+def lattice_from_beam(
+    outputs: BeamOutputs,
+    utt: int,
+    length: int,
+    graph: CompiledGraph,
+    loglikes: np.ndarray,
+    acoustic_scale: float,
+    keep_tokens: int = 0,
+) -> Lattice:
+    """Reconstruct the word lattice for one utterance from per-frame beam
+    survivors by re-expanding graph arcs between them host-side.
+
+    The resulting lattice contains every (token_t -> token_{t+1}) emitting
+    arc plus intra-frame epsilon chains collapsed to direct links (eps
+    closure is re-run between surviving tokens using the graph's eps arcs).
+    keep_tokens (0 = all K) truncates to the best few tokens per frame for
+    smaller lattices (lattice-beam-style pruning can follow).
+    """
+    st = np.asarray(outputs.states)[:, utt]      # [T, K]
+    sc = np.asarray(outputs.scores)[:, utt]
+    t_max, k = st.shape
+    length = min(length, t_max)
+    kk = keep_tokens or k
+
+    # per-frame surviving tokens (sorted by score, best first)
+    frame_tokens: List[Dict[int, int]] = []  # state -> lattice state id
+    lat = Lattice()
+    # initial state (frame -1)
+    init_id = lat.add_state(-1)
+    lat.start = init_id
+
+    ids: List[Dict[int, int]] = []
+    for t in range(length):
+        order = np.argsort(sc[t])[:kk]
+        d: Dict[int, int] = {}
+        for j in order:
+            s = int(st[t, j])
+            if s < 0 or not np.isfinite(sc[t, j]):
+                continue
+            if s not in d:
+                d[s] = lat.add_state(t)
+        ids.append(d)
+
+    # eps closure helper over graph eps arcs from a set of (state, cost)
+    eo, ew, ed, eol = (
+        graph.eps_offsets, graph.eps_weight, graph.eps_dst, graph.eps_olabel,
+    )
+
+    def eps_reach(src_state: int) -> List[Tuple[int, float, int]]:
+        """(reachable_state, eps_cost, first_olabel) via eps arcs (depth
+        bounded).  olabel chains >1 collapse to the first nonzero (word
+        sequences inside one hop are rare; full fidelity via beam.py's
+        traceback)."""
+        out = [(src_state, 0.0, 0)]
+        frontier = [(src_state, 0.0, 0)]
+        for _ in range(graph.eps_depth):
+            nxt = []
+            for s, c, ol in frontier:
+                for e in range(int(eo[s]), int(eo[s + 1])):
+                    o2 = ol if ol else int(eol[e])
+                    nxt.append((int(ed[e]), c + float(ew[e]), o2))
+            out.extend(nxt)
+            frontier = nxt
+            if not frontier:
+                break
+        return out
+
+    v = loglikes.shape[1]
+    o_em, w_em, d_em, il_em, ol_em = (
+        graph.emit_offsets, graph.emit_weight, graph.emit_dst,
+        graph.emit_ilabel, graph.emit_olabel,
+    )
+
+    def expand_from(lat_src: int, g_state: int, base_cost: float, t: int):
+        """All emitting arcs (+eps closure) from g_state into frame t's
+        survivors."""
+        for e in range(int(o_em[g_state]), int(o_em[g_state + 1])):
+            il = int(il_em[e])
+            ac = -acoustic_scale * float(loglikes[t, il - 1])
+            gc = float(w_em[e]) + base_cost
+            mid = int(d_em[e])
+            for (rs, ec, eol_first) in eps_reach(mid):
+                if rs in ids[t]:
+                    ol = int(ol_em[e]) or eol_first
+                    lat.arcs[lat_src].append(
+                        LatticeArc(il, ol, gc + ec, ac, ids[t][rs])
+                    )
+
+    # frame 0: from the start state's closure
+    for (rs, ec, _)  in eps_reach(graph.start):
+        expand_from(init_id, rs, ec, 0)
+    # frames t-1 -> t
+    for t in range(1, length):
+        for s, lid in ids[t - 1].items():
+            expand_from(lid, s, 0.0, t)
+
+    # finals at the last frame
+    for s, lid in ids[length - 1].items():
+        fw = float(graph.final_weight[s])
+        if np.isfinite(fw):
+            lat.finals[lid] = fw
+    if not lat.finals:  # partial-path fallback
+        best = min(ids[length - 1].values(), default=None)
+        if best is not None:
+            lat.finals[best] = 0.0
+    return lat

@@ -1,0 +1,233 @@
+"""Bidirectional LSTM layers, TPU-first.
+
+Re-designs the reference's BiLSTM acoustic model layer
+(reference: src/net/bilstm-layer.h:185-210 parameters, :197-340 step loops;
+src/net/bilstm-parallel-layer.h:97-205 masked multi-stream propagation)
+for XLA:
+
+- Layout is batch-major [B, T, D] with per-sequence length masks, replacing
+  the reference's time-interleaved `row = t*S + s` stream packing
+  (src/net/bilstm-parallel-layer.h:202,373).
+- The input projection for ALL time steps is one large [B*T, D] x [D, 4H]
+  matmul (MXU-friendly); only the recurrent [B, H] x [H, 4H] product lives
+  inside `lax.scan`.
+- The backward direction reverses each sequence by its own length
+  (a gather), runs the same forward scan, and reverses back — equivalent to
+  the reference's reverse-time pass (bilstm-parallel-layer.h:152) without
+  data-dependent control flow.
+- Gate packing follows the reference's GIFO order: g (cell candidate),
+  i (input gate), f (forget gate), o (output gate)
+  (src/net/lstm-layer.h:70-73), with diagonal peephole connections from the
+  cell to the i/f/o gates.  Weights are stored gate-structured
+  ([D, 4, H] rather than [D, 4H]) so that tensor-parallel sharding of the
+  cell dimension is a clean last-axis PartitionSpec — XLA fuses the gate
+  axis back into one matmul.
+
+Gradient clipping (`max_grad`, reference bilstm-layer.h:846-865) is applied
+by the optimizer (eesen_tpu.training.optim), not inside the layer, because
+in JAX the update step — not the layer — owns gradients.
+
+Dropout variants mirror src/net/bilstm-parallel-layer.h:46-95:
+forward dropout on the layer output and recurrent dropout on the recurrent
+activations, each with per-step or per-sequence masks (the reference's
+*_step_* vs *_sequence_* distinction).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+Params = Dict[str, Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class BiLstmConfig:
+    input_dim: int
+    cell_dim: int
+    param_range: float = 0.1       # uniform init ±range (net/layer.cc InitData)
+    fgate_bias: float = 0.0        # forget-gate bias init (<FgateBias>)
+    # dropout (bilstm-parallel-layer.h:46-95)
+    forward_dropout: float = 0.0
+    recurrent_dropout: float = 0.0
+    forward_step_dropout: bool = False     # new mask per step (else per sequence)
+    recurrent_step_dropout: bool = False
+    # compute dtype for the big matmuls; state stays float32
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def output_dim(self) -> int:
+        return 2 * self.cell_dim
+
+
+def _init_direction(key: Array, cfg: BiLstmConfig) -> Params:
+    h, d = cfg.cell_dim, cfg.input_dim
+    k = jax.random.split(key, 6)
+    r = cfg.param_range
+    u = lambda kk, shape: jax.random.uniform(kk, shape, jnp.float32, -r, r)
+    bias = u(k[2], (4, h))
+    # GIFO packing: gate axis order [g, i, f, o]; forget-gate bias offset
+    # (reference: bilstm-layer.h InitData <FgateBias>)
+    bias = bias.at[2].add(cfg.fgate_bias)
+    return {
+        "w_gifo_x": u(k[0], (d, 4, h)),
+        "w_gifo_m": u(k[1], (h, 4, h)),
+        "bias": bias,
+        "phole_i_c": u(k[3], (h,)),
+        "phole_f_c": u(k[4], (h,)),
+        "phole_o_c": u(k[5], (h,)),
+    }
+
+
+def init_bilstm_layer(key: Array, cfg: BiLstmConfig) -> Params:
+    kf, kb = jax.random.split(key)
+    return {
+        "fw": _init_direction(kf, cfg),
+        "bw": _init_direction(kb, cfg),
+    }
+
+
+def _reverse_by_length(x: Array, lengths: Array) -> Array:
+    """Reverse each sequence within its own valid span.
+
+    x: [B, T, D]; padded tail stays in place (it is masked anyway).
+    """
+    b, t_max, _ = x.shape
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1)
+    idx = jnp.where(
+        t_iota < lengths[:, None], lengths[:, None] - 1 - t_iota, t_iota
+    )
+    return jnp.take_along_axis(x, idx[:, :, None], axis=1)
+
+
+def _direction_scan(
+    p: Params,
+    x: Array,
+    mask: Array,
+    cfg: BiLstmConfig,
+    rec_drop_mask: Optional[Array],
+) -> Array:
+    """One direction's recurrence. x: [B, T, D] (already time-reversed for the
+    backward direction); mask: [B, T] float 0/1; returns m: [B, T, H]."""
+    b, t_max, _ = x.shape
+    h = cfg.cell_dim
+    cdt = cfg.compute_dtype
+
+    # big input projection for all steps at once (MXU)
+    xw = (
+        jnp.einsum(
+            "btd,dgh->btgh", x.astype(cdt), p["w_gifo_x"].astype(cdt),
+            preferred_element_type=jnp.float32,
+        )
+        + p["bias"]
+    )  # [B, T, 4, H] float32
+
+    w_m = p["w_gifo_m"].astype(cdt)
+    ph_i, ph_f, ph_o = p["phole_i_c"], p["phole_f_c"], p["phole_o_c"]
+
+    def step(carry, inp):
+        c_prev, m_prev = carry
+        xw_t, mask_t, rd_t = inp
+        m_in = m_prev if rd_t is None else m_prev * rd_t
+        gifo = xw_t + jnp.einsum(
+            "bh,hgk->bgk", m_in.astype(cdt), w_m,
+            preferred_element_type=jnp.float32,
+        )
+        g = jnp.tanh(gifo[:, 0])
+        i = jax.nn.sigmoid(gifo[:, 1] + c_prev * ph_i)
+        f = jax.nn.sigmoid(gifo[:, 2] + c_prev * ph_f)
+        c = f * c_prev + i * g
+        o = jax.nn.sigmoid(gifo[:, 3] + c * ph_o)
+        m = o * jnp.tanh(c)
+        mt = mask_t[:, None]
+        c = c * mt + c_prev * (1.0 - mt)
+        m = m * mt  # padded steps emit zeros and freeze state
+        m_carry = m + m_prev * (1.0 - mt)
+        return (c, m_carry), m
+
+    init = (
+        jnp.zeros((b, h), jnp.float32),
+        jnp.zeros((b, h), jnp.float32),
+    )
+    if rec_drop_mask is None:
+        xs = (jnp.moveaxis(xw, 1, 0), jnp.moveaxis(mask, 1, 0))
+
+        def step2(carry, inp):
+            return step(carry, (*inp, None))
+
+        _, ms = jax.lax.scan(step2, init, xs)
+    else:
+        xs = (
+            jnp.moveaxis(xw, 1, 0),
+            jnp.moveaxis(mask, 1, 0),
+            jnp.moveaxis(rec_drop_mask, 1, 0),
+        )
+        _, ms = jax.lax.scan(step, init, xs)
+    return jnp.moveaxis(ms, 0, 1)  # [B, T, H]
+
+
+def _dropout_mask(
+    key: Array, rate: float, per_step: bool, b: int, t: int, d: int
+) -> Array:
+    """Bernoulli keep-mask scaled by 1/keep. Per-sequence masks broadcast over
+    time (one draw per utterance), matching the reference's *_sequence_*
+    dropout variants."""
+    keep = 1.0 - rate
+    if per_step:
+        m = jax.random.bernoulli(key, keep, (b, t, d))
+    else:
+        m = jnp.broadcast_to(
+            jax.random.bernoulli(key, keep, (b, 1, d)), (b, t, d)
+        )
+    return m.astype(jnp.float32) / keep
+
+
+def bilstm_layer(
+    params: Params,
+    x: Array,
+    lengths: Array,
+    cfg: BiLstmConfig,
+    *,
+    train: bool = False,
+    rng: Optional[Array] = None,
+) -> Array:
+    """Apply one BiLSTM layer. x: [B, T, D] -> [B, T, 2H]."""
+    b, t_max, _ = x.shape
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1)
+    mask = (t_iota < lengths[:, None]).astype(jnp.float32)
+
+    rd_fw = rd_bw = None
+    if train and cfg.recurrent_dropout > 0.0:
+        assert rng is not None, "recurrent dropout needs an rng"
+        k1, k2, rng = jax.random.split(rng, 3)
+        rd_fw = _dropout_mask(
+            k1, cfg.recurrent_dropout, cfg.recurrent_step_dropout,
+            b, t_max, cfg.cell_dim,
+        )
+        rd_bw = _dropout_mask(
+            k2, cfg.recurrent_dropout, cfg.recurrent_step_dropout,
+            b, t_max, cfg.cell_dim,
+        )
+
+    m_fw = _direction_scan(params["fw"], x, mask, cfg, rd_fw)
+
+    x_rev = _reverse_by_length(x, lengths)
+    m_bw_rev = _direction_scan(params["bw"], x_rev, mask, cfg, rd_bw)
+    m_bw = _reverse_by_length(m_bw_rev, lengths)
+
+    y = jnp.concatenate([m_fw, m_bw], axis=-1)
+
+    if train and cfg.forward_dropout > 0.0:
+        assert rng is not None, "forward dropout needs an rng"
+        k, _ = jax.random.split(rng)
+        fd = _dropout_mask(
+            k, cfg.forward_dropout, cfg.forward_step_dropout,
+            b, t_max, 2 * cfg.cell_dim,
+        )
+        y = y * fd
+
+    return y * mask[:, :, None]

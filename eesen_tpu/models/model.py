@@ -1,0 +1,112 @@
+"""Acoustic model: a stack of BiLSTM layers + affine output projection.
+
+Mirrors the reference's network topology (reference:
+asr_egs/wsj/utils/model_topo.py:60-164 emits N x <BiLstmParallel> +
+<AffineTransform> + <Softmax>; src/net/net.cc:67-105 runs the stack).
+The softmax is NOT part of the forward graph here: `apply_model` returns
+pre-softmax logits, and the CTC loss / decoder apply log-softmax
+internally — the reference's softmax-composed CTC gradient
+(src/net/ctc-loss.cc:156-167) is what our custom VJP computes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from eesen_tpu.models.bilstm import BiLstmConfig, bilstm_layer, init_bilstm_layer
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class AcousticModelConfig:
+    """Configuration matching model_topo.py's knobs.
+
+    Defaults follow the WSJ recipe: 4 x 320-cell BiLSTM over 120-dim
+    (40 fbank + deltas) input (asr_egs/wsj/run_ctc_phn.sh).
+    """
+
+    input_dim: int = 120
+    cell_dim: int = 320
+    num_layers: int = 4
+    num_targets: int = 72          # vocab incl. blank at index 0
+    param_range: float = 0.1
+    fgate_bias: float = 0.0
+    forward_dropout: float = 0.0
+    recurrent_dropout: float = 0.0
+    forward_step_dropout: bool = False
+    recurrent_step_dropout: bool = False
+    compute_dtype: Any = jnp.bfloat16
+
+    def layer_cfg(self, index: int) -> BiLstmConfig:
+        in_dim = self.input_dim if index == 0 else 2 * self.cell_dim
+        return BiLstmConfig(
+            input_dim=in_dim,
+            cell_dim=self.cell_dim,
+            param_range=self.param_range,
+            fgate_bias=self.fgate_bias,
+            forward_dropout=self.forward_dropout,
+            recurrent_dropout=self.recurrent_dropout,
+            forward_step_dropout=self.forward_step_dropout,
+            recurrent_step_dropout=self.recurrent_step_dropout,
+            compute_dtype=self.compute_dtype,
+        )
+
+
+def init_model(key: Array, cfg: AcousticModelConfig) -> Params:
+    keys = jax.random.split(key, cfg.num_layers + 1)
+    layers: List[Params] = [
+        init_bilstm_layer(keys[i], cfg.layer_cfg(i))
+        for i in range(cfg.num_layers)
+    ]
+    r = cfg.param_range
+    out_in = 2 * cfg.cell_dim
+    k_w, k_b = jax.random.split(keys[-1])
+    out = {
+        "w": jax.random.uniform(
+            k_w, (out_in, cfg.num_targets), jnp.float32, -r, r
+        ),
+        "b": jax.random.uniform(
+            k_b, (cfg.num_targets,), jnp.float32, -r, r
+        ),
+    }
+    return {"layers": layers, "out": out}
+
+
+def apply_model(
+    params: Params,
+    feats: Array,
+    lengths: Array,
+    cfg: AcousticModelConfig,
+    *,
+    train: bool = False,
+    rng: Optional[Array] = None,
+) -> Array:
+    """feats: [B, T, input_dim] -> logits [B, T, num_targets]."""
+    x = feats
+    for i in range(cfg.num_layers):
+        lrng = None
+        if rng is not None:
+            rng, lrng = jax.random.split(rng)
+        x = bilstm_layer(
+            params["layers"][i], x, lengths, cfg.layer_cfg(i),
+            train=train, rng=lrng,
+        )
+    cdt = cfg.compute_dtype
+    logits = (
+        jnp.einsum(
+            "btd,dv->btv", x.astype(cdt), params["out"]["w"].astype(cdt),
+            preferred_element_type=jnp.float32,
+        )
+        + params["out"]["b"]
+    )
+    return logits
+
+
+def model_num_params(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

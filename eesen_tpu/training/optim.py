@@ -1,0 +1,86 @@
+"""Optimizers with the reference's update semantics.
+
+The reference implements three update rules selected by `--update-algorithm`
+(reference: src/net/trainable-layer.h:260-336):
+
+  sgd      : momentum-folded correction buffers, lr * grad
+  adagrad  : accumulate squared grads, scale lr by 1/sqrt(acc + eps)
+  rmsprop  : exponential moving average of squared grads (rho), same scaling
+
+plus elementwise gradient clipping to ±max_grad applied before the update
+(reference: src/net/bilstm-layer.h:846-865 ApplyFloor/Ceiling on gradients).
+
+Built as optax gradient transformations so they compose with any pjit'd
+train step; the learning rate is injected per-step (the newbob schedule in
+eesen_tpu.training.schedule decides it between epochs, like the shell driver
+steps/train_ctc_parallel.sh:132-190 did).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    algorithm: str = "sgd"          # sgd | adagrad | rmsprop
+    momentum: float = 0.9           # (train-opts.h: momentum, default 0.0 in
+                                    # C++ but recipes pass 0.9)
+    max_grad: float = 50.0          # elementwise clip (bilstm-layer <MaxGrad>)
+    adagrad_epsilon: float = 1e-10  # (train-opts.h adagrad_epsilon)
+    rmsprop_rho: float = 0.9        # (train-opts.h rmsprop_rho)
+    weight_decay: float = 0.0       # l2 penalty (train-opts.h l2_penalty)
+
+
+def clip_by_value(max_grad: float) -> optax.GradientTransformation:
+    """Elementwise gradient clamp to [-max_grad, +max_grad]."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        return (
+            jax.tree_util.tree_map(
+                lambda g: jnp.clip(g, -max_grad, max_grad), updates
+            ),
+            state,
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    """Build the optax chain; learning rate supplied via inject_hyperparams
+    as `learning_rate` so the newbob scheduler can set it per epoch."""
+    chain = []
+    if cfg.max_grad > 0:
+        chain.append(clip_by_value(cfg.max_grad))
+    if cfg.weight_decay > 0:
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    if cfg.algorithm == "sgd":
+        if cfg.momentum > 0:
+            chain.append(optax.trace(decay=cfg.momentum, nesterov=False))
+    elif cfg.algorithm == "adagrad":
+        chain.append(
+            optax.scale_by_rss(
+                initial_accumulator_value=0.0, eps=cfg.adagrad_epsilon
+            )
+        )
+    elif cfg.algorithm == "rmsprop":
+        chain.append(
+            optax.scale_by_rms(decay=cfg.rmsprop_rho, eps=cfg.adagrad_epsilon)
+        )
+    else:
+        raise ValueError(f"unknown update algorithm: {cfg.algorithm}")
+
+    def lr_chain(learning_rate):
+        return optax.chain(*chain, optax.scale(-learning_rate))
+
+    return optax.inject_hyperparams(lr_chain)(learning_rate=jnp.float32(0.0))

@@ -1,0 +1,265 @@
+"""The training loop: jitted SPMD train/eval steps + epoch driver.
+
+Replaces the reference's split of responsibilities where the C++ binary did
+one epoch of SGD (reference: src/netbin/train-ctc-parallel.cc:144-218) and
+the shell did LR scheduling / early stop / resume
+(steps/train_ctc_parallel.sh:132-190):
+
+- `make_train_step` builds ONE jitted SPMD program: forward (BiLSTM stack),
+  CTC loss, backward, clip, update — batch sharded over the mesh `data`
+  axis, params sharded over `model`/replicated over `data`.  The gradient
+  all-reduce over `data` that XLA inserts replaces the file-based model
+  averaging communicator (src/net/communicator.h) entirely.
+- The greedy token-accuracy monitor (src/net/ctc-loss.cc:235 ErrorRateMSeq)
+  is device argmax + host edit distance, as in the reference.
+- `Trainer.fit` runs the newbob epoch loop with checkpoint/resume via orbax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Dict, Iterable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from eesen_tpu.models.model import AcousticModelConfig, apply_model, init_model
+from eesen_tpu.ops.ctc import ctc_loss
+from eesen_tpu.training.metrics import EpochReport, token_error_counts
+from eesen_tpu.training.optim import OptimizerConfig, make_optimizer
+from eesen_tpu.training.schedule import NewbobConfig, NewbobScheduler
+from eesen_tpu.parallel.sharding import shard_batch, shard_state
+from eesen_tpu.utils.logging import get_logger
+from eesen_tpu.utils.timer import Timer
+
+log = get_logger("training.trainer")
+
+Array = jax.Array
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: Array
+
+
+def create_train_state(
+    rng: Array, model_cfg: AcousticModelConfig, opt_cfg: OptimizerConfig
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    params = init_model(rng, model_cfg)
+    tx = make_optimizer(opt_cfg)
+    opt_state = tx.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx
+
+
+def _loss_and_metrics(params, batch, model_cfg, rng, train):
+    logits = apply_model(
+        params, batch["feats"], batch["feat_lengths"], model_cfg,
+        train=train, rng=rng,
+    )
+    nll = ctc_loss(
+        logits, batch["feat_lengths"], batch["labels"],
+        batch["label_lengths"],
+    )
+    frames = jnp.sum(batch["feat_lengths"])
+    loss = jnp.sum(nll) / jnp.maximum(frames, 1).astype(nll.dtype)
+    argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    metrics = {
+        "obj_sum": jnp.sum(nll),
+        "frames": frames,
+        "argmax": argmax,
+    }
+    return loss, metrics
+
+
+def make_train_step(
+    model_cfg: AcousticModelConfig,
+    tx: optax.GradientTransformation,
+    donate: bool = True,
+) -> Callable:
+    """Returns jitted train_step(state, batch, rng, learn_rate) ->
+    (state, metrics).
+
+    Sharding is placement-driven: put the state on a mesh with
+    `parallel.shard_state` and the batch with `parallel.shard_batch`, and
+    jit infers the SPMD partitioning (gradient psum over `data`, sharded
+    matmuls over `model`).  The same compiled step serves single-chip and
+    multi-chip runs.
+    """
+
+    def train_step(state: TrainState, batch, rng, learn_rate):
+        def loss_fn(p):
+            return _loss_and_metrics(p, batch, model_cfg, rng, True)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        # inject the epoch learning rate (newbob decides it outside jit)
+        opt_state = state.opt_state._replace(
+            hyperparams=dict(
+                state.opt_state.hyperparams, learning_rate=learn_rate
+            )
+        )
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics, loss=loss)
+        return TrainState(params, new_opt_state, state.step + 1), metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model_cfg: AcousticModelConfig) -> Callable:
+    """Cross-validation step (no backprop) — the reference's
+    --cross-validate=true mode (train-ctc-parallel.cc:116-119,206)."""
+
+    def eval_step(params, batch):
+        _, metrics = _loss_and_metrics(params, batch, model_cfg, None, False)
+        return metrics
+
+    return jax.jit(eval_step)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    model: AcousticModelConfig = AcousticModelConfig()
+    optimizer: OptimizerConfig = OptimizerConfig()
+    newbob: NewbobConfig = NewbobConfig()
+    seed: int = 777
+    report_step: int = 100       # log every N batches (reference report_step)
+    checkpoint_dir: Optional[str] = None
+
+
+class Trainer:
+    """Epoch-level driver: newbob LR schedule, CV early stop, checkpointing."""
+
+    def __init__(self, cfg: TrainerConfig, mesh: Optional[Mesh] = None):
+        self.cfg = cfg
+        self.mesh = mesh
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        self.state, self.tx = create_train_state(
+            init_rng, cfg.model, cfg.optimizer
+        )
+        if mesh is not None:
+            self.state = shard_state(self.state, mesh)
+        self.train_step = make_train_step(cfg.model, self.tx)
+        self.eval_step = make_eval_step(cfg.model)
+        self.sched = NewbobScheduler(cfg.newbob)
+
+    def run_epoch(
+        self, batches: Iterable[Dict[str, np.ndarray]], train: bool,
+        learn_rate: float,
+    ) -> EpochReport:
+        report = EpochReport()
+        timer = Timer()
+        n = 0
+        for batch in batches:
+            keys = batch.pop("keys", None)
+            if self.mesh is not None:
+                dev_batch = shard_batch(batch, self.mesh)
+            else:
+                dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if train:
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, metrics = self.train_step(
+                    self.state, dev_batch, step_rng,
+                    jnp.float32(learn_rate),
+                )
+            else:
+                metrics = self.eval_step(self.state.params, dev_batch)
+            errs, refs = token_error_counts(
+                np.asarray(metrics["argmax"]),
+                batch["feat_lengths"],
+                batch["labels"],
+                batch["label_lengths"],
+            )
+            report.update(
+                float(metrics["obj_sum"]), int(metrics["frames"]),
+                errs, refs, int(np.sum(batch["feat_lengths"] > 0)),
+            )
+            n += 1
+            if n % self.cfg.report_step == 0:
+                fps = report.total_frames / max(timer.elapsed(), 1e-9)
+                log.info(
+                    "%s batch %d: %s (%.0f frames/sec)",
+                    "TRAIN" if train else "CV", n, report.report(), fps,
+                )
+        return report
+
+    def fit(
+        self,
+        train_batches_fn: Callable[[], Iterable[Dict[str, np.ndarray]]],
+        cv_batches_fn: Callable[[], Iterable[Dict[str, np.ndarray]]],
+    ) -> Dict[str, float]:
+        """Run newbob epochs until convergence; returns final metrics."""
+        history = {}
+        while True:
+            epoch = self.sched.epoch
+            lr = self.sched.learn_rate
+            tr = self.run_epoch(train_batches_fn(), True, lr)
+            cv = self.run_epoch(cv_batches_fn(), False, lr)
+            log.info(
+                "EPOCH %d: lrate %.6g, TRAIN ACCURACY %.4f%%, "
+                "VALID ACCURACY %.4f%%",
+                epoch, lr, tr.token_accuracy, cv.token_accuracy,
+            )
+            history[epoch] = {
+                "train_acc": tr.token_accuracy,
+                "cv_acc": cv.token_accuracy,
+                "train_obj": tr.obj_per_frame,
+                "cv_obj": cv.obj_per_frame,
+            }
+            if self.cfg.checkpoint_dir:
+                self.save_checkpoint(epoch)
+            stop, _ = self.sched.report(cv.token_accuracy)
+            if stop:
+                break
+        return history
+
+    # ---- checkpointing (replaces nnet.iterN files + dotfiles) ----
+    def save_checkpoint(self, epoch: int) -> None:
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(
+            os.path.abspath(self.cfg.checkpoint_dir), f"epoch_{epoch}"
+        )
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(
+            path,
+            {
+                "params": self.state.params,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+            },
+            force=True,
+        )
+        ckptr.wait_until_finished()
+        self.sched.save(
+            os.path.join(os.path.abspath(self.cfg.checkpoint_dir), "sched.json")
+        )
+
+    def restore_checkpoint(self, epoch: int) -> None:
+        import orbax.checkpoint as ocp
+
+        path = os.path.join(
+            os.path.abspath(self.cfg.checkpoint_dir), f"epoch_{epoch}"
+        )
+        ckptr = ocp.StandardCheckpointer()
+        target = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+        }
+        restored = ckptr.restore(path, target)
+        self.state = TrainState(
+            restored["params"], restored["opt_state"], restored["step"]
+        )
+        sched_path = os.path.join(
+            os.path.abspath(self.cfg.checkpoint_dir), "sched.json"
+        )
+        if os.path.exists(sched_path):
+            self.sched = NewbobScheduler.load(sched_path, self.cfg.newbob)

@@ -1,0 +1,146 @@
+"""TPU beam search vs host FasterDecoder oracle on a real (tiny) TLG."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eesen_tpu.decoder.arpa import arpa_to_fst
+from eesen_tpu.decoder.beam import (
+    BeamSearchConfig, DeviceGraph, make_beam_decoder, traceback,
+)
+from eesen_tpu.decoder.ctc_graph import build_lg, build_tlg, compile_lang
+from eesen_tpu.decoder.faster import FasterDecoder, FasterDecoderOptions
+from eesen_tpu.decoder.graph_compile import compile_graph
+
+from tests.test_ctc_graph import ARPA, LEXICON, UNITS
+
+
+@pytest.fixture(scope="module")
+def tlg():
+    lang = compile_lang(LEXICON, UNITS, dict_type="phn")
+    g = arpa_to_fst(ARPA, lang.words)
+    lg = build_lg(lang.l_fst, g)
+    return lang, build_tlg(lang.t_fst, lg)
+
+
+def synth_loglikes(rng, lang, units_seq, t_per=3, noise=0.5):
+    """Peaked log-softmax favoring the given framewise unit sequence."""
+    # vocab order: col 0 = blank, cols 1.. = units (token id - 1)
+    v = 1 + len(UNITS)
+    frames = []
+    for u in units_seq:
+        col = 0 if u == "<blk>" else lang.tokens[u] - 1
+        for _ in range(t_per):
+            x = rng.standard_normal(v) * noise
+            x[col] += 6.0
+            frames.append(x)
+    ll = np.stack(frames).astype(np.float32)
+    ll = ll - np.log(np.exp(ll).sum(axis=1, keepdims=True))
+    return ll
+
+
+def test_graph_compile_degree_cap(tlg):
+    lang, fst = tlg
+    g = compile_graph(fst, max_degree=4)
+    assert g.max_emit_degree <= 4
+    assert g.max_eps_degree <= 4
+    assert g.num_emit_arcs + g.num_eps_arcs >= fst.num_arcs
+    # degree-capped graph must preserve the language: spot-check decode
+    rng = np.random.default_rng(0)
+    ll = synth_loglikes(
+        rng, lang, ["a", "<blk>", "b", "<blk>", "b", "a"], t_per=2
+    )
+    dec = FasterDecoder(fst, FasterDecoderOptions(beam=1e9, max_active=10**9))
+    _, ow, _ = dec.decode(ll)
+    assert [lang.words.sym(o) for o in ow] == ["ab", "ba"]
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_beam_matches_faster_decoder(tlg, seed):
+    """With wide beams both decoders must find the same best path."""
+    lang, fst = tlg
+    rng = np.random.default_rng(seed)
+    seqs = [
+        ["a", "<blk>", "b", "<blk>", "b", "a"],
+        ["a", "a", "b", "c", "<blk>"],
+        ["b", "a", "<blk>", "a", "b"],
+    ]
+    units_seq = seqs[seed % len(seqs)]
+    ll = synth_loglikes(rng, lang, units_seq, t_per=2, noise=1.0)
+
+    ref = FasterDecoder(
+        fst, FasterDecoderOptions(beam=1e9, max_active=10**9,
+                                  acoustic_scale=0.9)
+    )
+    _, ref_words, ref_cost = ref.decode(ll)
+
+    g = compile_graph(fst, max_degree=8)
+    cfg = BeamSearchConfig(beam=1e9, max_active=256, acoustic_scale=0.9)
+    decoder = make_beam_decoder(g, cfg)
+    dg = DeviceGraph.put(g)
+    out = decoder(
+        jnp.asarray(ll[None, :, :]), jnp.asarray([ll.shape[0]]), dg
+    )
+    assert int(out.overflow[0]) == 0
+    (words, cost), = traceback(
+        out, np.asarray([ll.shape[0]]), g.final_weight
+    )
+    assert words == ref_words, (
+        [lang.words.sym(w) for w in words],
+        [lang.words.sym(w) for w in ref_words],
+    )
+    np.testing.assert_allclose(cost, ref_cost, rtol=1e-4, atol=1e-3)
+
+
+def test_beam_batched(tlg):
+    """Batched decode: each row matches its own single decode."""
+    lang, fst = tlg
+    rng = np.random.default_rng(42)
+    lls = [
+        synth_loglikes(rng, lang, ["a", "<blk>", "b"], t_per=2),
+        synth_loglikes(rng, lang, ["b", "a", "<blk>", "a", "b", "c"], t_per=2),
+    ]
+    t_max = max(x.shape[0] for x in lls)
+    batch = np.zeros((2, t_max, lls[0].shape[1]), np.float32)
+    lengths = np.zeros(2, np.int32)
+    for i, x in enumerate(lls):
+        batch[i, : len(x)] = x
+        lengths[i] = len(x)
+
+    g = compile_graph(fst, max_degree=8)
+    decoder = make_beam_decoder(
+        g, BeamSearchConfig(beam=1e9, max_active=256)
+    )
+    dg = DeviceGraph.put(g)
+    out = decoder(jnp.asarray(batch), jnp.asarray(lengths), dg)
+    results = traceback(out, lengths, g.final_weight)
+
+    ref = FasterDecoder(
+        fst, FasterDecoderOptions(beam=1e9, max_active=10**9)
+    )
+    for i, x in enumerate(lls):
+        _, ref_words, ref_cost = ref.decode(x)
+        words, cost = results[i]
+        assert words == ref_words
+        np.testing.assert_allclose(cost, ref_cost, rtol=1e-4, atol=1e-3)
+
+
+def test_beam_narrow_still_decodes(tlg):
+    """A realistic narrow beam must still produce the right words on
+    clean posteriors."""
+    lang, fst = tlg
+    rng = np.random.default_rng(7)
+    ll = synth_loglikes(
+        rng, lang, ["a", "<blk>", "b", "<blk>", "b", "a"], t_per=3,
+        noise=0.2,
+    )
+    g = compile_graph(fst, max_degree=8)
+    decoder = make_beam_decoder(
+        g, BeamSearchConfig(beam=12.0, max_active=64)
+    )
+    dg = DeviceGraph.put(g)
+    out = decoder(jnp.asarray(ll[None]), jnp.asarray([len(ll)]), dg)
+    (words, cost), = traceback(out, np.asarray([len(ll)]), g.final_weight)
+    assert [lang.words.sym(w) for w in words] == ["ab", "ba"]
