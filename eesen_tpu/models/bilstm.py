@@ -58,6 +58,9 @@ class BiLstmConfig:
     recurrent_step_dropout: bool = False
     # compute dtype for the big matmuls; state stays float32
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # fused Pallas recurrence: "auto" uses it on TPU when no recurrent
+    # dropout is active; "never"/"always" force the choice
+    use_pallas: str = "auto"
 
     @property
     def output_dim(self) -> int:
@@ -89,6 +92,14 @@ def init_bilstm_layer(key: Array, cfg: BiLstmConfig) -> Params:
         "fw": _init_direction(kf, cfg),
         "bw": _init_direction(kb, cfg),
     }
+
+
+def _pallas_enabled(cfg: "BiLstmConfig") -> bool:
+    if cfg.use_pallas == "always":
+        return True
+    if cfg.use_pallas == "never":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def _reverse_by_length(x: Array, lengths: Array) -> Array:
@@ -125,6 +136,14 @@ def _direction_scan(
         )
         + p["bias"]
     )  # [B, T, 4, H] float32
+
+    if rec_drop_mask is None and _pallas_enabled(cfg):
+        from eesen_tpu.ops.lstm_pallas import lstm_direction_pallas
+
+        return lstm_direction_pallas(
+            xw, mask, p["w_gifo_m"],
+            p["phole_i_c"], p["phole_f_c"], p["phole_o_c"],
+        ) * mask[:, :, None]
 
     w_m = p["w_gifo_m"].astype(cdt)
     ph_i, ph_f, ph_o = p["phole_i_c"], p["phole_f_c"], p["phole_o_c"]

@@ -42,6 +42,7 @@ class AcousticModelConfig:
     forward_step_dropout: bool = False
     recurrent_step_dropout: bool = False
     compute_dtype: Any = jnp.bfloat16
+    use_pallas: str = "auto"
 
     def layer_cfg(self, index: int) -> BiLstmConfig:
         in_dim = self.input_dim if index == 0 else 2 * self.cell_dim
@@ -55,6 +56,7 @@ class AcousticModelConfig:
             forward_step_dropout=self.forward_step_dropout,
             recurrent_step_dropout=self.recurrent_step_dropout,
             compute_dtype=self.compute_dtype,
+            use_pallas=self.use_pallas,
         )
 
 

@@ -1,0 +1,360 @@
+"""Fused LSTM recurrence as a Pallas TPU kernel.
+
+The acoustic model's hot loop is the per-timestep recurrent matmul
+([B, H] x [H, 4H] inside `lax.scan`) — the reference pays the same cost as
+per-frame CUDA launches of small GEMMs (reference:
+src/net/bilstm-parallel-layer.h:97-150 per-t loop).  XLA's while-loop has
+per-iteration overhead and cannot keep the recurrent weights pinned; this
+kernel runs the WHOLE time loop in one pallas_call:
+
+- grid = (T,): Pallas iterates sequentially on a TPU core, so VMEM scratch
+  (the h/c state) persists across steps; the recurrent weight matrix
+  [Hp, 4Hp] (bf16) stays resident in VMEM for all T steps;
+- per step: one MXU matmul (m @ w_m) + VPU gate math, with the
+  per-timestep xw block ([B, 4Hp]) streamed in and outputs streamed out by
+  the Pallas pipeline (auto double-buffered);
+- the backward pass is a second kernel running the reversed grid,
+  accumulating dW/db/dpeephole in VMEM scratch and emitting per-step dxw,
+  wired in via custom_vjp.
+
+Gate order is GIFO (g, i, f, o) as everywhere in this codebase
+(reference: src/net/lstm-layer.h:70-73).  H and B are padded to hardware
+tiles (H -> multiple of 128 lanes, B -> multiple of 8 sublanes) by the
+wrapper; length masking follows the same freeze-state/zero-output
+semantics as models/bilstm._direction_scan.  Recurrent dropout is not
+supported here — the caller falls back to the XLA scan when it is active.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# --------------------------------------------------------------------------
+# forward kernel
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(
+    xw_ref,      # [1, B, 4Hp] f32  (this step's input projection + bias)
+    mask_ref,    # [1, B, 1] f32
+    w_ref,       # [Hp, 4Hp] bf16   (resident)
+    ph_ref,      # [3, Hp] f32      (peepholes i, f, o)
+    m_out_ref,   # [1, B, Hp] f32   (m_carry)
+    c_out_ref,   # [1, B, Hp] f32   (c_carry)
+    craw_ref,    # [1, B, Hp] f32
+    gates_ref,   # [1, B, 4Hp] bf16 (post-activation g,i,f,o)
+    m_scr,       # [B, Hp] f32 scratch (carried m)
+    c_scr,       # [B, Hp] f32 scratch (carried c)
+):
+    t = pl.program_id(0)
+    hp = m_scr.shape[1]
+
+    @pl.when(t == 0)
+    def _():
+        m_scr[:] = jnp.zeros_like(m_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    m_prev = m_scr[:]
+    c_prev = c_scr[:]
+    gifo = xw_ref[0] + jnp.dot(
+        m_prev.astype(jnp.bfloat16), w_ref[:],
+        preferred_element_type=jnp.float32,
+    )
+    g = jnp.tanh(gifo[:, 0 * hp : 1 * hp])
+    i = jax.nn.sigmoid(gifo[:, 1 * hp : 2 * hp] + c_prev * ph_ref[0, :])
+    f = jax.nn.sigmoid(gifo[:, 2 * hp : 3 * hp] + c_prev * ph_ref[1, :])
+    c_raw = f * c_prev + i * g
+    o = jax.nn.sigmoid(gifo[:, 3 * hp : 4 * hp] + c_raw * ph_ref[2, :])
+    m_raw = o * jnp.tanh(c_raw)
+
+    mt = mask_ref[0]                       # [B, 1]
+    c_new = c_raw * mt + c_prev * (1.0 - mt)
+    m_new = m_raw * mt + m_prev * (1.0 - mt)
+    m_scr[:] = m_new
+    c_scr[:] = c_new
+    m_out_ref[0] = m_new
+    c_out_ref[0] = c_new
+    craw_ref[0] = c_raw
+    gates_ref[0] = jnp.concatenate([g, i, f, o], axis=1).astype(jnp.bfloat16)
+
+
+def _bwd_kernel(
+    mask_ref,    # [1, B, 1]
+    gates_ref,   # [1, B, 4Hp] bf16
+    craw_ref,    # [1, B, Hp]
+    cprev_ref,   # [1, B, Hp]  (c_carry at t-1; zeros block at t=0)
+    mprev_ref,   # [1, B, Hp]  (m_carry at t-1; zeros block at t=0)
+    gm_ref,      # [1, B, Hp]  cotangent of m_carry[t]
+    w_ref,       # [Hp, 4Hp] bf16
+    ph_ref,      # [3, Hp]
+    dxw_ref,     # [1, B, 4Hp] out
+    dw_ref,      # [Hp, 4Hp] out (written at last program)
+    db_ref,      # [1, 4Hp] out
+    dph_ref,     # [3, Hp] out
+    dm_scr,      # [B, Hp] carry
+    dc_scr,      # [B, Hp] carry
+    dw_scr,      # [Hp, 4Hp] f32 acc
+    db_scr,      # [1, 4Hp] f32 acc
+    dph_scr,     # [3, Hp] f32 acc
+):
+    pid = pl.program_id(0)
+    n = pl.num_programs(0)
+    hp = dm_scr.shape[1]
+
+    @pl.when(pid == 0)
+    def _():
+        dm_scr[:] = jnp.zeros_like(dm_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        dw_scr[:] = jnp.zeros_like(dw_scr)
+        db_scr[:] = jnp.zeros_like(db_scr)
+        dph_scr[:] = jnp.zeros_like(dph_scr)
+
+    gates = gates_ref[0].astype(jnp.float32)
+    g = gates[:, 0 * hp : 1 * hp]
+    i = gates[:, 1 * hp : 2 * hp]
+    f = gates[:, 2 * hp : 3 * hp]
+    o = gates[:, 3 * hp : 4 * hp]
+    c_raw = craw_ref[0]
+    c_prev = cprev_ref[0]
+    m_prev = mprev_ref[0]
+    mt = mask_ref[0]                       # [B, 1]
+    tanh_c = jnp.tanh(c_raw)
+
+    dm_total = (gm_ref[0] + dm_scr[:])
+    dm_raw = dm_total * mt
+    dm_prev_pass = dm_total * (1.0 - mt)
+    dc_in = dc_scr[:]
+    dc_raw = dc_in * mt
+    dc_prev_pass = dc_in * (1.0 - mt)
+
+    do = dm_raw * tanh_c
+    dc_raw = dc_raw + dm_raw * o * (1.0 - tanh_c * tanh_c)
+    do_pre = do * o * (1.0 - o)
+    dc_raw = dc_raw + do_pre * ph_ref[2, :]
+    di_pre = dc_raw * g * i * (1.0 - i)
+    df_pre = dc_raw * c_prev * f * (1.0 - f)
+    dg_pre = dc_raw * i * (1.0 - g * g)
+    dc_prev = (
+        dc_raw * f + di_pre * ph_ref[0, :] + df_pre * ph_ref[1, :]
+        + dc_prev_pass
+    )
+    dgifo = jnp.concatenate([dg_pre, di_pre, df_pre, do_pre], axis=1)
+
+    dm_in = jnp.dot(
+        dgifo.astype(jnp.bfloat16), w_ref[:].T,
+        preferred_element_type=jnp.float32,
+    )
+    dm_scr[:] = dm_in + dm_prev_pass
+    dc_scr[:] = dc_prev
+
+    dxw_ref[0] = dgifo
+    dw_scr[:] += jnp.dot(
+        m_prev.astype(jnp.bfloat16).T, dgifo.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    db_scr[0, :] += jnp.sum(dgifo, axis=0)
+    dph_scr[0, :] += jnp.sum(di_pre * c_prev, axis=0)
+    dph_scr[1, :] += jnp.sum(df_pre * c_prev, axis=0)
+    dph_scr[2, :] += jnp.sum(do_pre * c_raw, axis=0)
+
+    @pl.when(pid == n - 1)
+    def _():
+        dw_ref[:] = dw_scr[:]
+        db_ref[:] = db_scr[:]
+        dph_ref[:] = dph_scr[:]
+
+
+# --------------------------------------------------------------------------
+# host-side wrappers (padding + pallas_call plumbing)
+# --------------------------------------------------------------------------
+
+def _fwd_call(xw, mask, w_m, ph, interpret):
+    t_max, b, fourhp = xw.shape
+    hp = fourhp // 4
+    grid = (t_max,)
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, b, fourhp), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, fourhp), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, hp), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, hp), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hp), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hp), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, fourhp), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_max, b, hp), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, b, hp), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, b, hp), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, b, fourhp), jnp.bfloat16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hp), jnp.float32),
+            pltpu.VMEM((b, hp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xw, mask, w_m, ph)
+    return out
+
+
+def _bwd_call(mask, gates, craw, ccarry, mcarry, gm, w_m, ph, interpret):
+    t_max, b, fourhp = gates.shape
+    hp = fourhp // 4
+    rev = lambda t: (t_max - 1 - t, 0, 0)
+
+    # c_prev / m_prev blocks: index t-1 of the carry sequences, but at the
+    # first step (t=0) the initial state is zero.  We prepend a zeros row
+    # so index t maps to row t (prepended) = carry[t-1].
+    zeros_row = jnp.zeros((1, b, hp), jnp.float32)
+    cprev_seq = jnp.concatenate([zeros_row, ccarry[:-1]], axis=0)
+    mprev_seq = jnp.concatenate([zeros_row, mcarry[:-1]], axis=0)
+
+    out = pl.pallas_call(
+        _bwd_kernel,
+        grid=(t_max,),
+        in_specs=[
+            pl.BlockSpec((1, b, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, fourhp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, fourhp), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, hp), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, b, fourhp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, fourhp), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fourhp), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, hp), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_max, b, fourhp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, fourhp), jnp.float32),
+            jax.ShapeDtypeStruct((1, fourhp), jnp.float32),
+            jax.ShapeDtypeStruct((3, hp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hp), jnp.float32),
+            pltpu.VMEM((b, hp), jnp.float32),
+            pltpu.VMEM((hp, fourhp), jnp.float32),
+            pltpu.VMEM((1, fourhp), jnp.float32),
+            pltpu.VMEM((3, hp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(mask, gates, craw, cprev_seq, mprev_seq, gm, w_m, ph)
+    return out
+
+
+# --------------------------------------------------------------------------
+# public op with custom VJP
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def lstm_scan(
+    xw: Array,       # [T, B, 4Hp] f32 (input projection + bias, GIFO blocks)
+    mask: Array,     # [T, B, 1] f32
+    w_m: Array,      # [Hp, 4Hp] bf16/f32
+    ph: Array,       # [3, Hp] f32 (peepholes i, f, o)
+    interpret: bool = False,
+) -> Array:
+    """Run the fused recurrence; returns m_carry [T, B, Hp] f32
+    (equal to the masked output except at padded steps, which callers mask
+    anyway)."""
+    m, _, _, _ = _fwd_call(
+        xw, mask, w_m.astype(jnp.bfloat16), ph, interpret
+    )
+    return m
+
+
+def _lstm_scan_fwd(xw, mask, w_m, ph, interpret):
+    w_bf = w_m.astype(jnp.bfloat16)
+    m, c, craw, gates = _fwd_call(xw, mask, w_bf, ph, interpret)
+    return m, (mask, gates, craw, c, m, w_bf, ph)
+
+
+def _lstm_scan_bwd(interpret, res, gm):
+    mask, gates, craw, ccarry, mcarry, w_bf, ph = res
+    dxw, dw, db, dph = _bwd_call(
+        mask, gates, craw, ccarry, mcarry, gm, w_bf, ph, interpret
+    )
+    # db folds into dxw's bias through the caller (xw includes bias), so
+    # the bias gradient arrives via dxw summed over (T, B); return dw/dph
+    # for the weight leaves.  db is returned as part of no leaf here —
+    # callers get the bias grad from dxw.
+    del db
+    return dxw, None, dw.astype(jnp.float32), dph
+
+
+lstm_scan.defvjp(_lstm_scan_fwd, _lstm_scan_bwd)
+
+
+# --------------------------------------------------------------------------
+# high-level direction runner used by models.bilstm
+# --------------------------------------------------------------------------
+
+def lstm_direction_pallas(
+    x_proj: Array,   # [B, T, 4, H] f32 (input projection + bias)
+    mask: Array,     # [B, T] f32
+    w_gifo_m: Array,  # [H, 4, H]
+    ph_i: Array, ph_f: Array, ph_o: Array,  # [H]
+    interpret: bool = False,
+) -> Array:
+    """Pad to tiles, run the fused kernel, unpad. Returns m [B, T, H]."""
+    b, t_max, four, h = x_proj.shape
+    assert four == 4
+    hp = _round_up(h, 128)
+    bp = _round_up(b, 8)
+
+    # [B,T,4,H] -> [T,Bp,4Hp]
+    xw = jnp.zeros((t_max, bp, 4 * hp), jnp.float32)
+    xw = xw.at[:, :b, :].set(
+        jnp.moveaxis(
+            jnp.pad(x_proj, ((0, 0), (0, 0), (0, 0), (0, hp - h)))
+            .reshape(b, t_max, 4 * hp),
+            0, 1,
+        )
+    )
+    mk = jnp.zeros((t_max, bp, 1), jnp.float32)
+    mk = mk.at[:, :b, 0].set(jnp.moveaxis(mask, 0, 1))
+    w = jnp.pad(w_gifo_m, ((0, hp - h), (0, 0), (0, hp - h))).reshape(
+        hp, 4 * hp
+    )
+    ph = jnp.stack([
+        jnp.pad(ph_i, (0, hp - h)),
+        jnp.pad(ph_f, (0, hp - h)),
+        jnp.pad(ph_o, (0, hp - h)),
+    ])
+    m = lstm_scan(xw, mk, w, ph, interpret)
+    return jnp.moveaxis(m[:, :b, :h], 0, 1)

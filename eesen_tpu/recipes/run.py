@@ -1,0 +1,254 @@
+"""End-to-end recipe driver: data dirs + lexicon + LM -> trained model + WER.
+
+The Python equivalent of the reference's per-corpus run_ctc_*.sh four-stage
+pipeline (reference: asr_egs/wsj/run_ctc_phn.sh:21-97):
+  1. lang build (tokens/words/T/L) + label prep
+  2. features (fbank -> per-speaker CMVN -> pipeline)
+  3. CTC training with the newbob schedule
+  4. TLG build + batched TPU decode + acwt-sweep scoring
+
+Each stage is a method so partial runs / resumes are natural; everything
+lives under `work_dir`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eesen_tpu.decoder.arpa import arpa_to_fst
+from eesen_tpu.decoder.beam import (
+    BeamSearchConfig, DeviceGraph, make_beam_decoder, traceback,
+)
+from eesen_tpu.decoder.ctc_graph import Lang, build_tlg, compile_lang
+from eesen_tpu.decoder import fst_native as fnat
+from eesen_tpu.decoder.fst import arcsort
+from eesen_tpu.decoder.graph_compile import CompiledGraph, compile_graph
+from eesen_tpu.decoder.score import WerStats, compute_wer
+from eesen_tpu.frontend.features import fbank, num_frames
+from eesen_tpu.frontend.pipeline import FeaturePipeline, speaker_cmvn_stats
+from eesen_tpu.io.datadir import DataDir
+from eesen_tpu.io.wave import read_wav
+from eesen_tpu.models.model import apply_model
+from eesen_tpu.models.priors import (
+    ClassPriorOptions, compute_log_priors, counts_from_labels,
+    subtract_priors,
+)
+from eesen_tpu.recipes.config import RecipeConfig
+from eesen_tpu.recipes.labels import lexicon_numbers, prep_ctc_trans
+from eesen_tpu.training.batching import BatchConfig, Utterance, make_batches
+from eesen_tpu.training.trainer import Trainer, TrainerConfig
+from eesen_tpu.utils.logging import get_logger
+
+log = get_logger("recipes.run")
+
+
+class RecipeRun:
+    def __init__(
+        self,
+        cfg: RecipeConfig,
+        work_dir: str,
+        lexicon: List[Tuple[str, Tuple[str, ...]]],
+        units: List[str],
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.work_dir = work_dir
+        os.makedirs(work_dir, exist_ok=True)
+        self.lexicon = lexicon
+        self.units = units
+        self.mesh = mesh
+        self.lang: Optional[Lang] = None
+        self.trainer: Optional[Trainer] = None
+        self.graph: Optional[CompiledGraph] = None
+        self.log_priors: Optional[np.ndarray] = None
+
+    # ---- stage 1: lang + labels ----
+    def build_lang(self) -> Lang:
+        path = os.path.join(self.work_dir, "lang.pkl")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                self.lang = pickle.load(f)
+        else:
+            self.lang = compile_lang(
+                self.lexicon, self.units, dict_type=self.cfg.dict_type
+            )
+            with open(path, "wb") as f:
+                pickle.dump(self.lang, f)
+        return self.lang
+
+    def prep_labels(
+        self, data: DataDir, unk: str = "<UNK>"
+    ) -> Dict[str, np.ndarray]:
+        assert self.lang is not None
+        lex_num = lexicon_numbers(self.lexicon, self.lang.tokens)
+        space = "<SPACE>" if self.cfg.dict_type == "char" else ""
+        return prep_ctc_trans(lex_num, data.text, unk, space)
+
+    # ---- stage 2: features ----
+    def compute_features(
+        self, data: DataDir, dither_seed: Optional[int] = 0
+    ) -> Dict[str, np.ndarray]:
+        """wav.scp -> pipeline features, with per-speaker CMVN."""
+        raw: Dict[str, np.ndarray] = {}
+        fb = jax.jit(lambda w: fbank(w, self.cfg.fbank))
+        rng = (
+            jax.random.PRNGKey(dither_seed) if dither_seed is not None
+            else None
+        )
+        # pad waves to shape buckets so the TPU compiles few programs
+        lens = {k: None for k in data.wav_scp}
+        waves = {}
+        for k, src in data.wav_scp.items():
+            w, sr = read_wav(src)
+            waves[k] = w[0]
+        if not waves:
+            return {}
+        max_n = max(len(w) for w in waves.values())
+        bucket = 1 << max(int(np.ceil(np.log2(max(max_n, 1024)))), 10)
+        for k, w in waves.items():
+            nf = num_frames(len(w), self.cfg.fbank.frame_opts)
+            wp = np.zeros(bucket, np.float32)
+            wp[: len(w)] = w
+            if rng is not None and self.cfg.fbank.frame_opts.dither != 0.0:
+                rng, sub = jax.random.split(rng)
+                out = np.asarray(
+                    fbank(jnp.asarray(wp), self.cfg.fbank, dither_rng=sub)
+                )
+            else:
+                out = np.asarray(fb(jnp.asarray(wp)))
+            raw[k] = out[:nf]
+        cmvn = speaker_cmvn_stats(raw, data.utt2spk)
+        pipe = FeaturePipeline(self.cfg.pipeline, cmvn, data.utt2spk)
+        return {k: pipe(k, v) for k, v in raw.items()}
+
+    # ---- stage 3: training ----
+    def train(
+        self,
+        train_feats: Dict[str, np.ndarray],
+        train_labels: Dict[str, np.ndarray],
+        cv_feats: Dict[str, np.ndarray],
+        cv_labels: Dict[str, np.ndarray],
+        epochs_batches_repeat: int = 1,
+    ) -> Dict:
+        assert self.lang is not None
+        num_targets = len(self.units) + 1   # blank + units
+        model_cfg = dataclasses.replace(
+            self.cfg.model, num_targets=num_targets
+        )
+        tcfg = TrainerConfig(
+            model=model_cfg,
+            optimizer=self.cfg.optimizer,
+            newbob=self.cfg.newbob,
+            checkpoint_dir=os.path.join(self.work_dir, "ckpt"),
+        )
+        self.trainer = Trainer(tcfg, mesh=self.mesh)
+
+        def mk(feats, labels):
+            utts = [
+                Utterance(k, feats[k], labels[k])
+                for k in sorted(feats)
+                if k in labels and len(labels[k]) > 0
+            ]
+            return utts
+
+        tr_utts, cv_utts = mk(train_feats, train_labels), mk(cv_feats, cv_labels)
+
+        def train_iter():
+            for _ in range(epochs_batches_repeat):
+                yield from make_batches(tr_utts, self.cfg.batch)
+
+        def cv_iter():
+            yield from make_batches(cv_utts, self.cfg.batch)
+
+        history = self.trainer.fit(train_iter, cv_iter)
+        # priors from the training labels (train_ctc_parallel.sh:119-120)
+        counts = counts_from_labels(
+            [train_labels[u.key] for u in tr_utts], num_targets
+        )
+        self.log_priors = compute_log_priors(counts, ClassPriorOptions())
+        with open(os.path.join(self.work_dir, "model.pkl"), "wb") as f:
+            pickle.dump(
+                {"params": self.trainer.state.params, "config": model_cfg,
+                 "log_priors": self.log_priors},
+                f,
+            )
+        return history
+
+    # ---- stage 4: graph + decode + score ----
+    def build_graph(self, arpa_path_or_text: str) -> CompiledGraph:
+        assert self.lang is not None
+        path = os.path.join(self.work_dir, "tlg.pkl")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                self.graph = pickle.load(f)
+            return self.graph
+        g = arpa_to_fst(arpa_path_or_text, self.lang.words)
+        lg = fnat.compose(self.lang.l_fst, g)
+        lg = fnat.determinize_star(lg, "log")
+        lg = fnat.minimize_encoded(lg)
+        tlg = build_tlg(self.lang.t_fst, arcsort(lg, "ilabel"))
+        self.graph = compile_graph(tlg)
+        with open(path, "wb") as f:
+            pickle.dump(self.graph, f)
+        return self.graph
+
+    def decode(
+        self,
+        feats: Dict[str, np.ndarray],
+        refs: Dict[str, List[str]],
+        acoustic_scale: Optional[float] = None,
+        batch_size: int = 8,
+    ) -> Tuple[WerStats, Dict[str, List[str]]]:
+        assert self.trainer is not None and self.graph is not None
+        assert self.lang is not None
+        model_cfg = self.trainer.cfg.model
+        cfg = self.cfg.decode
+        if acoustic_scale is not None:
+            cfg = dataclasses.replace(cfg, acoustic_scale=acoustic_scale)
+        decoder = make_beam_decoder(self.graph, cfg)
+        dg = DeviceGraph.put(self.graph)
+        words = self.lang.words
+
+        hyps: Dict[str, List[str]] = {}
+        keys = sorted(feats)
+        for i in range(0, len(keys), batch_size):
+            chunk = keys[i : i + batch_size]
+            t_max = max(feats[k].shape[0] for k in chunk)
+            dim = feats[chunk[0]].shape[1]
+            arr = np.zeros((len(chunk), t_max, dim), np.float32)
+            lens = np.zeros(len(chunk), np.int32)
+            for j, k in enumerate(chunk):
+                arr[j, : len(feats[k])] = feats[k]
+                lens[j] = len(feats[k])
+            logits = apply_model(
+                self.trainer.state.params, jnp.asarray(arr),
+                jnp.asarray(lens), model_cfg,
+            )
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            if self.log_priors is not None:
+                lp = subtract_priors(lp, self.log_priors)
+            out = decoder(lp, jnp.asarray(lens), dg)
+            for j, (wids, cost) in enumerate(
+                traceback(out, lens, self.graph.final_weight)
+            ):
+                hyps[chunk[j]] = [words.sym(w) for w in wids]
+        stats = compute_wer(refs, hyps)
+        return stats, hyps
+
+    def score_sweep(
+        self, feats, refs, acwts: Optional[Tuple[float, ...]] = None
+    ) -> Dict[float, WerStats]:
+        """Per-acwt WER (local/score.sh:44-55)."""
+        out = {}
+        for acwt in acwts or self.cfg.acwt_sweep:
+            stats, _ = self.decode(feats, refs, acoustic_scale=acwt)
+            log.info("acwt %.1f: %s", acwt, stats.report())
+            out[acwt] = stats
+        return out

@@ -1,0 +1,487 @@
+"""Command-line tools: the archive->archive surface of the reference bins.
+
+One `python -m eesen_tpu.tools.cli <command>` multiplexer covering the
+single-purpose binaries the recipes drive (reference: src/featbin/,
+src/netbin/net-output-extract.cc, src/decoderbin/compute-wer.cc,
+src/decoderbin/arpa2fst.cc, the graph build of
+utils/ctc_compile_dict_token.sh + local/*_decode_graph.sh).  All commands
+speak rspecifiers ("ark:...", "scp:...", "-") like the originals.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from eesen_tpu.io.kaldi_io import read_rspecifier, write_ark, read_scp
+from eesen_tpu.utils.logging import get_logger
+
+log = get_logger("tools.cli")
+
+
+def _wspec(path: str):
+    """'ark:file' / 'ark,scp:file,scp' -> (ark_path, scp_path)."""
+    if path.startswith("ark,scp:"):
+        ark, scp = path[len("ark,scp:"):].split(",")
+        return ark, scp
+    if path.startswith("ark:"):
+        return path[4:], None
+    return path, None
+
+
+# --------------------------------------------------------------------------
+# feature commands (reference: src/featbin/)
+# --------------------------------------------------------------------------
+
+def cmd_compute_feats(args, kind: str) -> int:
+    import jax.numpy as jnp
+    from eesen_tpu.frontend.features import (
+        FbankOptions, FrameOptions, MelOptions, fbank,
+    )
+    from eesen_tpu.frontend.mfcc import (
+        MfccOptions, SpectrogramOptions, mfcc, spectrogram,
+    )
+    from eesen_tpu.io.wave import read_wav
+
+    frame_opts = FrameOptions(
+        samp_freq=args.sample_frequency,
+        frame_shift_ms=args.frame_shift,
+        frame_length_ms=args.frame_length,
+        dither=args.dither,
+        preemph_coeff=args.preemphasis_coefficient,
+        window_type=args.window_type,
+    )
+    wav_scp = read_scp(args.wav_rspecifier.split(":", 1)[1]) \
+        if args.wav_rspecifier.startswith("scp:") else None
+    out_ark, out_scp = _wspec(args.feats_wspecifier)
+
+    def gen():
+        items = (
+            wav_scp.items() if wav_scp is not None
+            else ((k, v) for k, v in read_rspecifier(args.wav_rspecifier))
+        )
+        for key, src in items:
+            if isinstance(src, str):
+                wave, sr = read_wav(src)
+                wave = wave[min(args.channel, wave.shape[0] - 1)]
+            else:
+                wave = np.asarray(src).reshape(-1)
+            if kind == "fbank":
+                opts = FbankOptions(
+                    frame_opts=frame_opts,
+                    mel_opts=MelOptions(num_bins=args.num_mel_bins),
+                    use_energy=args.use_energy,
+                )
+                feats = fbank(jnp.asarray(wave), opts,
+                              vtln_warp=args.vtln_warp)
+            elif kind == "mfcc":
+                opts = MfccOptions(
+                    frame_opts=frame_opts,
+                    mel_opts=MelOptions(num_bins=args.num_mel_bins),
+                    num_ceps=args.num_ceps,
+                    use_energy=args.use_energy,
+                )
+                feats = mfcc(jnp.asarray(wave), opts,
+                             vtln_warp=args.vtln_warp)
+            else:
+                feats = spectrogram(
+                    jnp.asarray(wave), SpectrogramOptions(frame_opts=frame_opts)
+                )
+            yield key, np.asarray(feats)
+
+    write_ark(out_ark, gen(), scp_path=out_scp)
+    return 0
+
+
+def cmd_compute_cmvn_stats(args) -> int:
+    from eesen_tpu.frontend.pipeline import speaker_cmvn_stats
+
+    utt2spk = {}
+    if args.spk2utt:
+        spk2utt = read_scp(args.spk2utt.split(":", 1)[1])
+        for spk, utts in spk2utt.items():
+            for u in utts.split():
+                utt2spk[u] = spk
+    feats = {k: v for k, v in read_rspecifier(args.feats_rspecifier)}
+    stats = speaker_cmvn_stats(feats, utt2spk)
+    out_ark, out_scp = _wspec(args.stats_wspecifier)
+    write_ark(out_ark, stats.items(), scp_path=out_scp)
+    return 0
+
+
+def cmd_apply_cmvn(args) -> int:
+    from eesen_tpu.frontend.features import apply_cmvn
+
+    stats = {k: v for k, v in read_rspecifier(args.stats_rspecifier)}
+    utt2spk = {}
+    if args.utt2spk:
+        utt2spk = read_scp(args.utt2spk.split(":", 1)[1])
+    out_ark, out_scp = _wspec(args.feats_wspecifier)
+
+    def gen():
+        for key, feats in read_rspecifier(args.feats_rspecifier):
+            skey = utt2spk.get(key, key)
+            yield key, np.asarray(
+                apply_cmvn(feats, stats[skey], args.norm_vars)
+            )
+
+    write_ark(out_ark, gen(), scp_path=out_scp)
+    return 0
+
+
+def _simple_transform(args, fn) -> int:
+    out_ark, out_scp = _wspec(args.feats_wspecifier)
+    write_ark(
+        out_ark,
+        ((k, np.asarray(fn(v))) for k, v in
+         read_rspecifier(args.feats_rspecifier)),
+        scp_path=out_scp,
+    )
+    return 0
+
+
+def cmd_add_deltas(args) -> int:
+    from eesen_tpu.frontend.features import compute_deltas
+    return _simple_transform(
+        args, lambda f: compute_deltas(f, args.delta_order, args.delta_window)
+    )
+
+
+def cmd_splice_feats(args) -> int:
+    from eesen_tpu.frontend.features import splice_frames
+    return _simple_transform(
+        args, lambda f: splice_frames(f, args.left_context, args.right_context)
+    )
+
+
+def cmd_subsample_feats(args) -> int:
+    from eesen_tpu.frontend.features import subsample_frames
+    return _simple_transform(
+        args, lambda f: subsample_frames(f, args.n, args.offset)
+    )
+
+
+def cmd_copy_feats(args) -> int:
+    return _simple_transform(args, lambda f: f)
+
+
+def cmd_feat_to_dim(args) -> int:
+    for _, v in read_rspecifier(args.feats_rspecifier):
+        print(v.shape[-1])
+        return 0
+    return 1
+
+
+def cmd_feat_to_len(args) -> int:
+    for k, v in read_rspecifier(args.feats_rspecifier):
+        print(k, v.shape[0])
+    return 0
+
+
+# --------------------------------------------------------------------------
+# graph / LM commands
+# --------------------------------------------------------------------------
+
+def cmd_build_lang(args) -> int:
+    """tokens.txt/words.txt/T/L from lexicon + units
+    (= utils/ctc_compile_dict_token.sh)."""
+    import pickle
+    from eesen_tpu.decoder.ctc_graph import compile_lang
+
+    lexicon = []
+    with open(args.lexicon) as f:
+        for line in f:
+            parts = line.split()
+            if parts:
+                lexicon.append((parts[0], tuple(parts[1:])))
+    units = [l.split()[0] for l in open(args.units) if l.strip()]
+    lang = compile_lang(lexicon, units, dict_type=args.dict_type,
+                        space_char=args.space_char)
+    os.makedirs(args.out_dir, exist_ok=True)
+    lang.tokens.write(os.path.join(args.out_dir, "tokens.txt"))
+    lang.words.write(os.path.join(args.out_dir, "words.txt"))
+    with open(os.path.join(args.out_dir, "T.fst.txt"), "w") as f:
+        f.write(lang.t_fst.to_text())
+    with open(os.path.join(args.out_dir, "L.fst.txt"), "w") as f:
+        f.write(lang.l_fst.to_text())
+    with open(os.path.join(args.out_dir, "lang.pkl"), "wb") as f:
+        pickle.dump(lang, f)
+    log.info("built lang dir %s (%d tokens, %d words)", args.out_dir,
+             len(lang.tokens), len(lang.words))
+    return 0
+
+
+def cmd_build_tlg(args) -> int:
+    """TLG from a lang dir + ARPA LM (= local/*_decode_graph.sh)."""
+    import pickle
+    from eesen_tpu.decoder.arpa import arpa_to_fst
+    from eesen_tpu.decoder import fst_native as fnat
+    from eesen_tpu.decoder.fst import arcsort, connect
+    from eesen_tpu.decoder.ctc_graph import build_tlg
+    from eesen_tpu.decoder.graph_compile import compile_graph
+
+    with open(os.path.join(args.lang_dir, "lang.pkl"), "rb") as f:
+        lang = pickle.load(f)
+    g = arpa_to_fst(args.arpa, lang.words)
+    log.info("G: %d states %d arcs", g.num_states, g.num_arcs)
+    lg = fnat.compose(lang.l_fst, g)
+    log.info("LG composed: %d states %d arcs", lg.num_states, lg.num_arcs)
+    lg = fnat.determinize_star(lg, "log")
+    lg = fnat.minimize_encoded(lg)
+    lg = arcsort(lg, "ilabel")
+    log.info("LG det+min: %d states %d arcs", lg.num_states, lg.num_arcs)
+    tlg = build_tlg(lang.t_fst, lg)
+    log.info("TLG: %d states %d arcs", tlg.num_states, tlg.num_arcs)
+    compiled = compile_graph(tlg, max_degree=args.max_degree)
+    with open(args.out, "wb") as f:
+        pickle.dump(compiled, f)
+    log.info("wrote compiled graph %s", args.out)
+    return 0
+
+
+# --------------------------------------------------------------------------
+# net / decode commands
+# --------------------------------------------------------------------------
+
+def cmd_net_output_extract(args) -> int:
+    """Posteriors (log, prior-subtracted) from a trained model
+    (= netbin/net-output-extract.cc)."""
+    import jax, jax.numpy as jnp
+    import pickle
+    from eesen_tpu.models.model import apply_model
+    from eesen_tpu.models.priors import (
+        ClassPriorOptions, compute_log_priors, subtract_priors,
+    )
+
+    with open(args.model, "rb") as f:
+        blob = pickle.load(f)
+    params, cfg = blob["params"], blob["config"]
+    log_priors = None
+    if args.class_frame_counts:
+        counts = np.loadtxt(args.class_frame_counts)
+        log_priors = compute_log_priors(
+            counts, ClassPriorOptions(
+                prior_scale=args.prior_scale, blank_scale=args.blank_scale,
+            )
+        )
+    out_ark, out_scp = _wspec(args.out_wspecifier)
+
+    def gen():
+        for key, feats in read_rspecifier(args.feats_rspecifier):
+            x = jnp.asarray(feats)[None]
+            lengths = jnp.asarray([feats.shape[0]])
+            logits = apply_model(params, x, lengths, cfg)
+            lp = jax.nn.log_softmax(logits, axis=-1)[0]
+            if log_priors is not None:
+                lp = subtract_priors(lp, log_priors, args.prior_scale)
+            yield key, np.asarray(lp)
+
+    write_ark(out_ark, gen(), scp_path=out_scp)
+    return 0
+
+
+def cmd_latgen(args) -> int:
+    """Batched TPU beam decode -> text hypotheses
+    (= decoderbin/latgen-faster.cc best-path output)."""
+    import pickle
+    import jax.numpy as jnp
+    from eesen_tpu.decoder.beam import (
+        BeamSearchConfig, DeviceGraph, make_beam_decoder, traceback,
+    )
+    from eesen_tpu.decoder.ctc_graph import SymbolTable
+
+    with open(args.graph, "rb") as f:
+        graph = pickle.load(f)
+    words = SymbolTable.read(args.words) if args.words else None
+    cfg = BeamSearchConfig(
+        beam=args.beam, max_active=args.max_active,
+        acoustic_scale=args.acoustic_scale,
+    )
+    decoder = make_beam_decoder(graph, cfg)
+    dg = DeviceGraph.put(graph)
+
+    batch, keys = [], []
+
+    def flush(out_f):
+        if not batch:
+            return
+        t_max = max(x.shape[0] for x in batch)
+        v = batch[0].shape[1]
+        arr = np.full((len(batch), t_max, v), -30.0, np.float32)
+        lens = np.zeros(len(batch), np.int32)
+        for i, x in enumerate(batch):
+            arr[i, : len(x)] = x
+            lens[i] = len(x)
+        out = decoder(jnp.asarray(arr), jnp.asarray(lens), dg)
+        for i, (wids, cost) in enumerate(
+            traceback(out, lens, graph.final_weight)
+        ):
+            text = (
+                " ".join(words.sym(w) for w in wids) if words
+                else " ".join(map(str, wids))
+            )
+            out_f.write(f"{keys[i]} {text}\n")
+        batch.clear()
+        keys.clear()
+
+    out_f = sys.stdout if args.out == "-" else open(args.out, "w")
+    for key, ll in read_rspecifier(args.loglikes_rspecifier):
+        batch.append(np.asarray(ll, np.float32))
+        keys.append(key)
+        if len(batch) >= args.batch_size:
+            flush(out_f)
+    flush(out_f)
+    if out_f is not sys.stdout:
+        out_f.close()
+    return 0
+
+
+def cmd_compute_wer(args) -> int:
+    """(= decoderbin/compute-wer.cc)"""
+    from eesen_tpu.decoder.score import compute_wer
+
+    def read_text(path):
+        out = {}
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if parts:
+                    out[parts[0]] = parts[1:]
+        return out
+
+    refs = read_text(args.ref)
+    hyps = read_text(args.hyp)
+    stats = compute_wer(refs, hyps, mode=args.mode)
+    print(stats.report())
+    return 0
+
+
+# --------------------------------------------------------------------------
+# argument wiring
+# --------------------------------------------------------------------------
+
+def _add_frame_args(p):
+    p.add_argument("--sample-frequency", type=float, default=16000.0)
+    p.add_argument("--frame-shift", type=float, default=10.0)
+    p.add_argument("--frame-length", type=float, default=25.0)
+    p.add_argument("--dither", type=float, default=1.0)
+    p.add_argument("--preemphasis-coefficient", type=float, default=0.97)
+    p.add_argument("--window-type", default="povey")
+    p.add_argument("--num-mel-bins", type=int, default=23)
+    p.add_argument("--use-energy", action="store_true")
+    p.add_argument("--vtln-warp", type=float, default=1.0)
+    p.add_argument("--channel", type=int, default=0)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="eesen-tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    for kind in ("fbank", "mfcc", "spectrogram"):
+        p = sub.add_parser(f"compute-{kind}-feats")
+        _add_frame_args(p)
+        if kind == "mfcc":
+            p.add_argument("--num-ceps", type=int, default=13)
+        p.add_argument("wav_rspecifier")
+        p.add_argument("feats_wspecifier")
+        p.set_defaults(func=lambda a, k=kind: cmd_compute_feats(a, k))
+
+    p = sub.add_parser("compute-cmvn-stats")
+    p.add_argument("--spk2utt", default="")
+    p.add_argument("feats_rspecifier")
+    p.add_argument("stats_wspecifier")
+    p.set_defaults(func=cmd_compute_cmvn_stats)
+
+    p = sub.add_parser("apply-cmvn")
+    p.add_argument("--utt2spk", default="")
+    p.add_argument("--norm-vars", type=lambda s: s == "true", default=True)
+    p.add_argument("stats_rspecifier")
+    p.add_argument("feats_rspecifier")
+    p.add_argument("feats_wspecifier")
+    p.set_defaults(func=cmd_apply_cmvn)
+
+    p = sub.add_parser("add-deltas")
+    p.add_argument("--delta-order", type=int, default=2)
+    p.add_argument("--delta-window", type=int, default=2)
+    p.add_argument("feats_rspecifier")
+    p.add_argument("feats_wspecifier")
+    p.set_defaults(func=cmd_add_deltas)
+
+    p = sub.add_parser("splice-feats")
+    p.add_argument("--left-context", type=int, default=4)
+    p.add_argument("--right-context", type=int, default=4)
+    p.add_argument("feats_rspecifier")
+    p.add_argument("feats_wspecifier")
+    p.set_defaults(func=cmd_splice_feats)
+
+    p = sub.add_parser("subsample-feats")
+    p.add_argument("--n", type=int, default=1)
+    p.add_argument("--offset", type=int, default=0)
+    p.add_argument("feats_rspecifier")
+    p.add_argument("feats_wspecifier")
+    p.set_defaults(func=cmd_subsample_feats)
+
+    p = sub.add_parser("copy-feats")
+    p.add_argument("feats_rspecifier")
+    p.add_argument("feats_wspecifier")
+    p.set_defaults(func=cmd_copy_feats)
+
+    p = sub.add_parser("feat-to-dim")
+    p.add_argument("feats_rspecifier")
+    p.set_defaults(func=cmd_feat_to_dim)
+
+    p = sub.add_parser("feat-to-len")
+    p.add_argument("feats_rspecifier")
+    p.set_defaults(func=cmd_feat_to_len)
+
+    p = sub.add_parser("build-lang")
+    p.add_argument("--dict-type", default="phn", choices=["phn", "char"])
+    p.add_argument("--space-char", default="<SPACE>")
+    p.add_argument("lexicon")
+    p.add_argument("units")
+    p.add_argument("out_dir")
+    p.set_defaults(func=cmd_build_lang)
+
+    p = sub.add_parser("build-tlg")
+    p.add_argument("--max-degree", type=int, default=16)
+    p.add_argument("lang_dir")
+    p.add_argument("arpa")
+    p.add_argument("out")
+    p.set_defaults(func=cmd_build_tlg)
+
+    p = sub.add_parser("net-output-extract")
+    p.add_argument("--class-frame-counts", default="")
+    p.add_argument("--prior-scale", type=float, default=1.0)
+    p.add_argument("--blank-scale", type=float, default=1.0)
+    p.add_argument("model")
+    p.add_argument("feats_rspecifier")
+    p.add_argument("out_wspecifier")
+    p.set_defaults(func=cmd_net_output_extract)
+
+    p = sub.add_parser("latgen")
+    p.add_argument("--beam", type=float, default=17.0)
+    p.add_argument("--max-active", type=int, default=4096)
+    p.add_argument("--acoustic-scale", type=float, default=0.9)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--words", default="")
+    p.add_argument("graph")
+    p.add_argument("loglikes_rspecifier")
+    p.add_argument("out")
+    p.set_defaults(func=cmd_latgen)
+
+    p = sub.add_parser("compute-wer")
+    p.add_argument("--mode", default="present", choices=["present", "all"])
+    p.add_argument("ref")
+    p.add_argument("hyp")
+    p.set_defaults(func=cmd_compute_wer)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,81 @@
+"""Fused Pallas LSTM kernel vs the XLA scan reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eesen_tpu.models.bilstm import BiLstmConfig, _direction_scan, init_bilstm_layer
+from eesen_tpu.ops.lstm_pallas import lstm_direction_pallas
+
+
+def setup(b=3, t=7, d=5, h=4, seed=0):
+    cfg = BiLstmConfig(input_dim=d, cell_dim=h, compute_dtype=jnp.float32)
+    params = init_bilstm_layer(jax.random.PRNGKey(seed), cfg)["fw"]
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    lengths = jnp.asarray(rng.integers(t // 2, t + 1, size=b).astype(np.int32))
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (b, t), 1)
+    mask = (t_iota < lengths[:, None]).astype(jnp.float32)
+    xw = (
+        jnp.einsum("btd,dgh->btgh", x, params["w_gifo_x"]) + params["bias"]
+    )
+    return cfg, params, x, mask, xw
+
+
+def run_pallas(params, xw, mask):
+    return lstm_direction_pallas(
+        xw, mask, params["w_gifo_m"],
+        params["phole_i_c"], params["phole_f_c"], params["phole_o_c"],
+        interpret=True,
+    )
+
+
+def run_xla(cfg, params, x, mask):
+    return _direction_scan(params, x, mask, cfg, None)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_forward_matches_xla(seed):
+    cfg, params, x, mask, xw = setup(seed=seed)
+    m_pl = np.asarray(run_pallas(params, xw, mask))
+    m_xla = np.asarray(run_xla(cfg, params, x, mask))
+    # the kernel emits m_carry (pass-through at padded steps); the XLA path
+    # zeroes padded outputs — compare only valid steps
+    valid = np.asarray(mask)[:, :, None]
+    np.testing.assert_allclose(
+        m_pl * valid, m_xla * valid, rtol=2e-2, atol=2e-3
+    )
+
+
+def test_grads_match_xla():
+    cfg, params, x, mask, xw = setup(seed=2)
+    valid = mask[:, :, None]
+
+    def loss_pl(p):
+        xw_l = jnp.einsum("btd,dgh->btgh", x, p["w_gifo_x"]) + p["bias"]
+        m = lstm_direction_pallas(
+            xw_l, mask, p["w_gifo_m"], p["phole_i_c"], p["phole_f_c"],
+            p["phole_o_c"], interpret=True,
+        )
+        return jnp.sum((m * valid) ** 2)
+
+    def loss_xla(p):
+        m = _direction_scan(p, x, mask, cfg, None)
+        return jnp.sum((m * valid) ** 2)
+
+    g_pl = jax.grad(loss_pl)(params)
+    g_xla = jax.grad(loss_xla)(params)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(g_pl[k]), np.asarray(g_xla[k]),
+            rtol=5e-2, atol=5e-3, err_msg=k,
+        )
+
+
+def test_padded_tiles_zero():
+    """Padding lanes/rows must not leak into real outputs."""
+    cfg, params, x, mask, xw = setup(b=2, t=5, d=3, h=3, seed=3)
+    m = np.asarray(run_pallas(params, xw, mask))
+    assert m.shape == (2, 5, 3)
+    assert np.all(np.isfinite(m))
