@@ -71,6 +71,104 @@ class Lattice:
                 a.acoustic_cost *= acoustic_scale
                 a.graph_cost *= lm_scale
 
+    def add_penalty(self, word_ins_penalty: float) -> None:
+        """Add a word-insertion penalty to every word-bearing arc
+        (decoderbin/lattice-add-penalty.cc)."""
+        for arcs in self.arcs:
+            for a in arcs:
+                if a.olabel:
+                    a.graph_cost += word_ins_penalty
+
+    def prune(self, lattice_beam: float) -> None:
+        """Drop arcs/states whose best path cost exceeds best + beam
+        (lat/lattice-functions.cc PruneLattice semantics)."""
+        n = self.num_states
+        order = np.argsort(np.asarray(self.state_frame), kind="stable")
+        fwd = np.full(n, INF)
+        fwd[self.start] = 0.0
+        for s in order:
+            if not np.isfinite(fwd[s]):
+                continue
+            for a in self.arcs[s]:
+                c = fwd[s] + a.graph_cost + a.acoustic_cost
+                if c < fwd[a.nextstate]:
+                    fwd[a.nextstate] = c
+        bwd = np.full(n, INF)
+        for s, w in self.finals.items():
+            bwd[s] = w
+        for s in order[::-1]:
+            for a in self.arcs[s]:
+                c = a.graph_cost + a.acoustic_cost + bwd[a.nextstate]
+                if c < bwd[s]:
+                    bwd[s] = c
+        best = min(
+            (fwd[s] + w for s, w in self.finals.items()
+             if np.isfinite(fwd[s])),
+            default=INF,
+        )
+        cutoff = best + lattice_beam
+        for s in range(n):
+            self.arcs[s] = [
+                a for a in self.arcs[s]
+                if fwd[s] + a.graph_cost + a.acoustic_cost
+                + bwd[a.nextstate] <= cutoff
+            ]
+        for s in list(self.finals):
+            if fwd[s] + self.finals[s] > cutoff:
+                del self.finals[s]
+
+    def posterior_arcs(self) -> List[Tuple[int, float, int, int]]:
+        """Word-arc posteriors: (word, posterior, start_frame, end_frame)
+        over the log-semiring forward-backward (for MBR/confidence)."""
+        n = self.num_states
+        order = np.argsort(np.asarray(self.state_frame), kind="stable")
+        neg_inf = -INF
+
+        def logadd(a, b):
+            if a == neg_inf:
+                return b
+            if b == neg_inf:
+                return a
+            hi, lo = (a, b) if a > b else (b, a)
+            return hi + math.log1p(math.exp(lo - hi))
+
+        alpha = np.full(n, neg_inf)
+        alpha[self.start] = 0.0
+        for s in order:
+            if alpha[s] == neg_inf:
+                continue
+            for a in self.arcs[s]:
+                w = -(a.graph_cost + a.acoustic_cost)
+                alpha[a.nextstate] = logadd(
+                    alpha[a.nextstate], alpha[s] + w
+                )
+        beta = np.full(n, neg_inf)
+        for s, w in self.finals.items():
+            beta[s] = -w
+        for s in order[::-1]:
+            for a in self.arcs[s]:
+                w = -(a.graph_cost + a.acoustic_cost)
+                beta[s] = logadd(beta[s], w + beta[a.nextstate])
+        total = neg_inf
+        for s, w in self.finals.items():
+            total = logadd(total, alpha[s] - w)
+        out = []
+        for s in range(n):
+            if alpha[s] == neg_inf:
+                continue
+            for a in self.arcs[s]:
+                if not a.olabel:
+                    continue
+                w = -(a.graph_cost + a.acoustic_cost)
+                post = math.exp(
+                    min(alpha[s] + w + beta[a.nextstate] - total, 0.0)
+                )
+                out.append(
+                    (a.olabel, post, self.state_frame[s],
+                     self.state_frame[a.nextstate])
+                )
+        return out
+
     def best_path(self) -> Tuple[List[int], List[int], float]:
         """Viterbi over combined cost -> (ilabels, olabels, cost)
         (decoderbin/lattice-best-path.cc)."""

@@ -340,6 +340,106 @@ def cmd_latgen(args) -> int:
     return 0
 
 
+def cmd_model_info(args) -> int:
+    """(= netbin/net-model-info.cc)"""
+    import pickle
+    from eesen_tpu.models.model import model_num_params
+
+    if args.model.endswith(".nnet"):
+        from eesen_tpu.models.serialize import read_eesen_nnet
+        params, cfg = read_eesen_nnet(args.model)
+    else:
+        with open(args.model, "rb") as f:
+            blob = pickle.load(f)
+        params, cfg = blob["params"], blob["config"]
+    print(f"input-dim {cfg.input_dim}")
+    print(f"cell-dim {cfg.cell_dim}")
+    print(f"num-layers {cfg.num_layers}")
+    print(f"num-targets {cfg.num_targets}")
+    print(f"num-params {model_num_params(params)}")
+    return 0
+
+
+def cmd_net_average(args) -> int:
+    """Average model parameters (= netbin/net-average.cc)."""
+    import pickle
+    import jax
+
+    blobs = []
+    for path in args.models:
+        with open(path, "rb") as f:
+            blobs.append(pickle.load(f))
+    n = len(blobs)
+    params = jax.tree_util.tree_map(
+        lambda *xs: sum(np.asarray(x) for x in xs) / n,
+        *[b["params"] for b in blobs],
+    )
+    out = dict(blobs[0], params=params)
+    with open(args.out, "wb") as f:
+        pickle.dump(out, f)
+    return 0
+
+
+def cmd_net_copy(args) -> int:
+    """Convert between our pickle and the reference .nnet formats
+    (= netbin/net-copy.cc + format-to-nonparallel.cc)."""
+    import pickle
+    import jax
+    from eesen_tpu.models.serialize import read_eesen_nnet, write_eesen_nnet
+
+    if args.src.endswith(".nnet"):
+        params, cfg = read_eesen_nnet(args.src)
+        blob = {"params": params, "config": cfg}
+    else:
+        with open(args.src, "rb") as f:
+            blob = pickle.load(f)
+    if args.dst.endswith(".nnet"):
+        write_eesen_nnet(
+            args.dst,
+            jax.tree_util.tree_map(np.asarray, blob["params"]),
+            blob["config"], parallel=args.parallel,
+        )
+    else:
+        with open(args.dst, "wb") as f:
+            pickle.dump(blob, f)
+    return 0
+
+
+def cmd_align(args) -> int:
+    """Forced alignment (= steps/align_ctc_single_utt.sh)."""
+    import pickle
+    import jax, jax.numpy as jnp
+    from eesen_tpu.models.model import apply_model
+    from eesen_tpu.ops.align import align_to_segments, ctc_align
+
+    with open(args.model, "rb") as f:
+        blob = pickle.load(f)
+    params, cfg = blob["params"], blob["config"]
+    labels = {
+        k: np.asarray(v, np.int32)
+        for k, v in read_rspecifier(args.labels_rspecifier)
+    }
+    out_f = sys.stdout if args.out == "-" else open(args.out, "w")
+    for key, feats in read_rspecifier(args.feats_rspecifier):
+        if key not in labels:
+            continue
+        x = jnp.asarray(feats)[None]
+        lengths = jnp.asarray([feats.shape[0]])
+        logits = apply_model(params, x, lengths, cfg)
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        lab = labels[key][None, :]
+        aligns = ctc_align(
+            lp, lengths, jnp.asarray(lab),
+            jnp.asarray([len(labels[key])]),
+        )
+        segs = align_to_segments(aligns[0])
+        seg_str = " ".join(f"{l}:{s}:{e}" for l, s, e in segs)
+        out_f.write(f"{key} {seg_str}\n")
+    if out_f is not sys.stdout:
+        out_f.close()
+    return 0
+
+
 def cmd_compute_wer(args) -> int:
     """(= decoderbin/compute-wer.cc)"""
     from eesen_tpu.decoder.score import compute_wer
@@ -478,6 +578,28 @@ def main(argv=None) -> int:
     p.add_argument("ref")
     p.add_argument("hyp")
     p.set_defaults(func=cmd_compute_wer)
+
+    p = sub.add_parser("model-info")
+    p.add_argument("model")
+    p.set_defaults(func=cmd_model_info)
+
+    p = sub.add_parser("net-average")
+    p.add_argument("out")
+    p.add_argument("models", nargs="+")
+    p.set_defaults(func=cmd_net_average)
+
+    p = sub.add_parser("net-copy")
+    p.add_argument("--parallel", action="store_true")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.set_defaults(func=cmd_net_copy)
+
+    p = sub.add_parser("align")
+    p.add_argument("model")
+    p.add_argument("feats_rspecifier")
+    p.add_argument("labels_rspecifier")
+    p.add_argument("out")
+    p.set_defaults(func=cmd_align)
 
     args = parser.parse_args(argv)
     return args.func(args)
