@@ -180,10 +180,36 @@ struct TripleHash {
 };
 
 Fst compose(const Fst& a, const Fst& b) {
+  // Table composition: b's arcs are ilabel-sorted once (the reference's
+  // TableCompose strategy, src/fstext/table-matcher.h) so each match is a
+  // binary search instead of building a per-visit hash map.
   Fst out;
   if (a.start < 0 || b.start < 0) return out;
+
+  std::vector<std::vector<Arc>> b_sorted(b.arcs.size());
+  for (size_t s = 0; s < b.arcs.size(); s++) {
+    b_sorted[s] = b.arcs[s];
+    std::stable_sort(
+        b_sorted[s].begin(), b_sorted[s].end(),
+        [](const Arc& x, const Arc& y) { return x.il < y.il; });
+  }
+  auto match_range = [&](int32_t sb, int32_t il)
+      -> std::pair<const Arc*, const Arc*> {
+    const auto& arcs = b_sorted[sb];
+    Arc probe{il, 0, 0.0f, 0};
+    auto lo = std::lower_bound(
+        arcs.begin(), arcs.end(), probe,
+        [](const Arc& x, const Arc& y) { return x.il < y.il; });
+    auto hi = std::upper_bound(
+        arcs.begin(), arcs.end(), probe,
+        [](const Arc& x, const Arc& y) { return x.il < y.il; });
+    return {arcs.data() + (lo - arcs.begin()),
+            arcs.data() + (hi - arcs.begin())};
+  };
+
   using Key = std::tuple<int32_t, int32_t, int8_t>;
   std::unordered_map<Key, int32_t, TripleHash> ids;
+  ids.reserve(a.num_states() + b.num_states());
   std::vector<Key> stack;
   auto get_state = [&](int32_t sa, int32_t sb, int8_t flt) {
     Key k{sa, sb, flt};
@@ -200,9 +226,6 @@ Fst compose(const Fst& a, const Fst& b) {
     int32_t cur = ids[{sa, sb, flt}];
     if (a.is_final(sa) && b.is_final(sb))
       out.finals[cur] = a.final_weight(sa) + b.final_weight(sb);
-    // index b's arcs by ilabel
-    std::unordered_map<int32_t, std::vector<const Arc*>> by_il;
-    for (auto& ab : b.arcs[sb]) by_il[ab.il].push_back(&ab);
     for (auto& aa : a.arcs[sa]) {
       if (aa.ol == kEps) {
         if (flt == 0 || flt == 1) {
@@ -210,20 +233,18 @@ Fst compose(const Fst& a, const Fst& b) {
           out.arcs[cur].push_back({aa.il, kEps, aa.w, nxt});
         }
       } else {
-        auto it = by_il.find(aa.ol);
-        if (it != by_il.end())
-          for (const Arc* ab : it->second) {
-            int32_t nxt = get_state(aa.dst, ab->dst, 0);
-            out.arcs[cur].push_back({aa.il, ab->ol, aa.w + ab->w, nxt});
-          }
+        auto [lo, hi] = match_range(sb, aa.ol);
+        for (const Arc* ab = lo; ab != hi; ++ab) {
+          int32_t nxt = get_state(aa.dst, ab->dst, 0);
+          out.arcs[cur].push_back({aa.il, ab->ol, aa.w + ab->w, nxt});
+        }
       }
     }
-    auto it = by_il.find(kEps);
-    if (it != by_il.end())
-      for (const Arc* ab : it->second) {
-        int32_t nxt = get_state(sa, ab->dst, 2);
-        out.arcs[cur].push_back({kEps, ab->ol, ab->w, nxt});
-      }
+    auto [elo, ehi] = match_range(sb, kEps);
+    for (const Arc* ab = elo; ab != ehi; ++ab) {
+      int32_t nxt = get_state(sa, ab->dst, 2);
+      out.arcs[cur].push_back({kEps, ab->ol, ab->w, nxt});
+    }
   }
   return connect(out);
 }

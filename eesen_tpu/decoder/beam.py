@@ -51,6 +51,9 @@ class BeamSearchConfig:
     max_active: int = 4096          # K slots
     acoustic_scale: float = 0.9     # steps/decode_ctc_lat.sh default
     eps_iters: int = 0              # 0: use graph.eps_depth
+    # approximate top-k (jax.lax.approx_max_k): much cheaper on TPU for
+    # large K; pruning becomes slightly approximate (recall ~0.95)
+    approx_top_k: bool = False
 
 
 class DeviceGraph(NamedTuple):
@@ -119,6 +122,7 @@ def _expand(
 
 def _dedup_and_prune(
     dense: Array, dst: Array, score: Array, k: int, beam: float,
+    approx: bool = False,
 ) -> Tuple[Array, Array, Array, Array]:
     """Viterbi-recombine proposals sharing a destination state, apply the
     beam, keep the best K.  dense: persistent [B, N] +inf buffer.
@@ -141,7 +145,11 @@ def _dedup_and_prune(
     )
     is_winner = is_winner & (id_dense[brange, dst] == prop_id)
     score = jnp.where(is_winner, score, INF)
-    top_neg, top_idx = jax.lax.top_k(-score, k)
+    if approx:
+        top_neg, top_idx = jax.lax.approx_max_k(-score, k)
+        top_idx = top_idx.astype(jnp.int32)
+    else:
+        top_neg, top_idx = jax.lax.top_k(-score, k)
     new_scores = -top_neg
     new_states = jnp.take_along_axis(dst, top_idx, axis=1)
     new_states = jnp.where(jnp.isfinite(new_scores), new_states, -1)
@@ -179,6 +187,7 @@ def make_beam_decoder(
     beam = cfg.beam
     scale = cfg.acoustic_scale
     start_state = graph.start
+    approx = cfg.approx_top_k
     L = MAX_OLABELS_PER_FRAME
 
     def eps_phase(dg, states, scores, parent, olab, dense, overflow):
@@ -212,7 +221,7 @@ def make_beam_decoder(
             all_parent = jnp.concatenate([parent, exp_parent], axis=1)
             all_olab = jnp.concatenate([olab, exp_olab], axis=1)
             new_states, new_scores, top_idx, dense = _dedup_and_prune(
-                dense, all_dst, all_score, k, beam
+                dense, all_dst, all_score, k, beam, approx
             )
             new_parent = jnp.take_along_axis(all_parent, top_idx, axis=1)
             new_olab = jnp.take_along_axis(
@@ -252,7 +261,7 @@ def make_beam_decoder(
             ac = -scale * jnp.take_along_axis(ll_t, col, axis=1)
             pscore = jnp.where(jnp.isfinite(pscore), pscore + ac, INF)
             e_states, e_scores, e_idx, dense = _dedup_and_prune(
-                dense, dst, pscore, k, beam
+                dense, dst, pscore, k, beam, approx
             )
             # frame-level parent = previous frame slot of the emitting arc
             parent = e_idx // d_e

@@ -251,16 +251,23 @@ def _add_lexicon_paths(
 # --------------------------------------------------------------------------
 
 def build_lg(l_fst: Fst, g_fst: Fst) -> Fst:
-    """LG = fstminimizeencoded(fstdeterminizestar --use-log(L o G))."""
-    lg = compose(l_fst, g_fst)
-    lg = determinize_star(lg, semiring="log")
-    lg = minimize_encoded(lg)
+    """LG = fstminimizeencoded(fstdeterminizestar --use-log(L o G)).
+
+    Dispatches to the native C++ ops (decoder/fst_native) when the
+    toolchain is available, falling back to the pure-Python algorithms."""
+    from eesen_tpu.decoder import fst_native as fnat
+
+    lg = fnat.compose(l_fst, g_fst)
+    lg = fnat.determinize_star(lg, semiring="log")
+    lg = fnat.minimize_encoded(lg)
     return arcsort(lg, "ilabel")
 
 
 def build_tlg(t_fst: Fst, lg: Fst) -> Fst:
     """TLG = T o LG, with disambiguation symbols consumed by T."""
-    return connect(compose(t_fst, lg))
+    from eesen_tpu.decoder import fst_native as fnat
+
+    return fnat.compose(t_fst, lg)
 
 
 @dataclasses.dataclass
