@@ -11,10 +11,11 @@ static shapes and data parallelism:
 - Arc expansion is a dense [B, K, D] gather from degree-capped CSR tables
   (see graph_compile.py) — every step has the same shape, so the whole
   T-frame search is ONE `lax.scan` compiled once.
-- Viterbi recombination (the hash-map min in the reference) is a
-  scatter-min into a persistent dense [B, N] score buffer, gather-back,
-  keep-if-winner; the buffer is reset by re-scattering +inf at the touched
-  indices, so per-frame cost is O(K*D), not O(N).
+- Viterbi recombination (the hash-map min in the reference) is sort-based:
+  proposals are sorted by score then stably by destination state, so the
+  best proposal per state is the first of each run — no scatter at all
+  (TPU scatter-with-min lowers catastrophically slowly on some platforms),
+  and per-frame cost is O(K*D log(K*D)) independent of graph size.
 - Pruning = beam threshold against the per-utterance best + top_k to K
   (the reference's adaptive max_active cutoff, faster-decoder.cc GetCutoff).
 - Epsilon closure (blank-structure + LM-backoff arcs) runs a fixed number
@@ -121,40 +122,39 @@ def _expand(
 
 
 def _dedup_and_prune(
-    dense: Array, dst: Array, score: Array, k: int, beam: float,
-    approx: bool = False,
-) -> Tuple[Array, Array, Array, Array]:
+    dst: Array, score: Array, k: int, beam: float, approx: bool = False,
+) -> Tuple[Array, Array, Array]:
     """Viterbi-recombine proposals sharing a destination state, apply the
-    beam, keep the best K.  dense: persistent [B, N] +inf buffer.
-    Returns (new_states [B,K], new_scores [B,K], kept proposal idx [B,K],
-    dense restored to +inf)."""
+    beam, keep the best K.
+
+    Sort-based: ascending-score sort, then a STABLE sort by destination
+    state; the first entry of every destination run is its best proposal.
+    Returns (new_states [B,K], new_scores [B,K], kept proposal idx [B,K]
+    into the original proposal axis)."""
     b, m = dst.shape
-    brange = jnp.arange(b)[:, None]
     best = jnp.min(score, axis=1, keepdims=True)
     score = jnp.where(score <= best + beam, score, INF)
-    dense = dense.at[brange, dst].min(score, mode="drop")
-    back = dense[brange, dst]
-    is_winner = (score <= back) & jnp.isfinite(score)
-    prop_id = jnp.broadcast_to(
-        jnp.arange(m, dtype=jnp.int32)[None, :], dst.shape
+    ord1 = jnp.argsort(score, axis=1)
+    dst1 = jnp.take_along_axis(dst, ord1, axis=1)
+    score1 = jnp.take_along_axis(score, ord1, axis=1)
+    ord2 = jnp.argsort(dst1, axis=1, stable=True)
+    dst2 = jnp.take_along_axis(dst1, ord2, axis=1)
+    score2 = jnp.take_along_axis(score1, ord2, axis=1)
+    orig_idx = jnp.take_along_axis(ord1, ord2, axis=1)
+    first = jnp.concatenate(
+        [jnp.ones((b, 1), bool), dst2[:, 1:] != dst2[:, :-1]], axis=1
     )
-    big = jnp.iinfo(jnp.int32).max
-    id_dense = jnp.full(dense.shape, big, jnp.int32)
-    id_dense = id_dense.at[brange, dst].min(
-        jnp.where(is_winner, prop_id, big), mode="drop"
-    )
-    is_winner = is_winner & (id_dense[brange, dst] == prop_id)
-    score = jnp.where(is_winner, score, INF)
+    score2 = jnp.where(first, score2, INF)
     if approx:
-        top_neg, top_idx = jax.lax.approx_max_k(-score, k)
+        top_neg, top_idx = jax.lax.approx_max_k(-score2, k)
         top_idx = top_idx.astype(jnp.int32)
     else:
-        top_neg, top_idx = jax.lax.top_k(-score, k)
+        top_neg, top_idx = jax.lax.top_k(-score2, k)
     new_scores = -top_neg
-    new_states = jnp.take_along_axis(dst, top_idx, axis=1)
+    new_states = jnp.take_along_axis(dst2, top_idx, axis=1)
     new_states = jnp.where(jnp.isfinite(new_scores), new_states, -1)
-    dense = dense.at[brange, dst].set(INF, mode="drop")
-    return new_states, new_scores, top_idx, dense
+    kept = jnp.take_along_axis(orig_idx, top_idx, axis=1)
+    return new_states, new_scores, kept
 
 
 def _append_olabel(olab: Array, new: Array, overflow: Array):
@@ -190,11 +190,11 @@ def make_beam_decoder(
     approx = cfg.approx_top_k
     L = MAX_OLABELS_PER_FRAME
 
-    def eps_phase(dg, states, scores, parent, olab, dense, overflow):
+    def eps_phase(dg, states, scores, parent, olab, overflow):
         """Fixed-iteration eps closure; composes frame-level backpointers.
         parent/olab describe each slot's within-frame history."""
         def one_iter(carry, _):
-            states, scores, parent, olab, dense, overflow = carry
+            states, scores, parent, olab, overflow = carry
             aid, dst, pscore = _expand(
                 states, scores, dg.eps_offsets, dg.eps_weight, dg.eps_dst,
                 d_n,
@@ -220,22 +220,22 @@ def make_beam_decoder(
             all_score = jnp.concatenate([scores, pscore], axis=1)
             all_parent = jnp.concatenate([parent, exp_parent], axis=1)
             all_olab = jnp.concatenate([olab, exp_olab], axis=1)
-            new_states, new_scores, top_idx, dense = _dedup_and_prune(
-                dense, all_dst, all_score, k, beam, approx
+            new_states, new_scores, top_idx = _dedup_and_prune(
+                all_dst, all_score, k, beam, approx
             )
             new_parent = jnp.take_along_axis(all_parent, top_idx, axis=1)
             new_olab = jnp.take_along_axis(
                 all_olab, top_idx[..., None], axis=1
             )
             return (
-                new_states, new_scores, new_parent, new_olab, dense, overflow
+                new_states, new_scores, new_parent, new_olab, overflow
             ), None
 
-        (states, scores, parent, olab, dense, overflow), _ = jax.lax.scan(
-            one_iter, (states, scores, parent, olab, dense, overflow),
+        (states, scores, parent, olab, overflow), _ = jax.lax.scan(
+            one_iter, (states, scores, parent, olab, overflow),
             None, length=eps_iters,
         )
-        return states, scores, parent, olab, dense, overflow
+        return states, scores, parent, olab, overflow
 
     def decode(loglikes: Array, lengths: Array, dg: DeviceGraph) -> BeamOutputs:
         b, t_max, v = loglikes.shape
@@ -243,14 +243,13 @@ def make_beam_decoder(
         scores0 = jnp.full((b, k), jnp.inf, jnp.float32).at[:, 0].set(0.0)
         parent0 = jnp.repeat(jnp.arange(k, dtype=jnp.int32)[None], b, 0)
         olab0 = jnp.zeros((b, k, L), jnp.int32)
-        dense0 = jnp.full((b, n_total), jnp.inf, jnp.float32)
         overflow0 = jnp.zeros((b,), jnp.int32)
-        states0, scores0, _, init_olab, dense0, overflow0 = eps_phase(
-            dg, states0, scores0, parent0, olab0, dense0, overflow0
+        states0, scores0, _, init_olab, overflow0 = eps_phase(
+            dg, states0, scores0, parent0, olab0, overflow0
         )
 
         def frame(carry, inp):
-            states, scores, dense, overflow = carry
+            states, scores, overflow = carry
             ll_t, t = inp          # [B, V], scalar
             aid, dst, pscore = _expand(
                 states, scores, dg.emit_offsets, dg.emit_weight,
@@ -260,8 +259,8 @@ def make_beam_decoder(
             col = jnp.clip(il - 1, 0, v - 1)            # tid-1 shift
             ac = -scale * jnp.take_along_axis(ll_t, col, axis=1)
             pscore = jnp.where(jnp.isfinite(pscore), pscore + ac, INF)
-            e_states, e_scores, e_idx, dense = _dedup_and_prune(
-                dense, dst, pscore, k, beam, approx
+            e_states, e_scores, e_idx = _dedup_and_prune(
+                dst, pscore, k, beam, approx
             )
             # frame-level parent = previous frame slot of the emitting arc
             parent = e_idx // d_e
@@ -271,8 +270,8 @@ def make_beam_decoder(
                 jnp.isfinite(e_scores), dg.emit_olabel[e_aid], 0
             )
             olab, overflow = _append_olabel(olab0_f, emit_ol, overflow)
-            n_states_, n_scores, parent, olab, dense, overflow = eps_phase(
-                dg, e_states, e_scores, parent, olab, dense, overflow
+            n_states_, n_scores, parent, olab, overflow = eps_phase(
+                dg, e_states, e_scores, parent, olab, overflow
             )
             active = (t < lengths)[:, None]
             out_states = jnp.where(active, n_states_, states)
@@ -281,13 +280,13 @@ def make_beam_decoder(
             ident = jnp.repeat(jnp.arange(k, dtype=jnp.int32)[None], b, 0)
             out_parent = jnp.where(active, parent, ident)
             out_olab = jnp.where(active[..., None], olab, 0)
-            return (out_states, out_scores, dense, overflow), (
+            return (out_states, out_scores, overflow), (
                 out_states, out_scores, out_parent, out_olab,
             )
 
         ts = jnp.arange(t_max, dtype=jnp.int32)
-        (_, _, _, overflow), (st, sc, par, ol) = jax.lax.scan(
-            frame, (states0, scores0, dense0, overflow0),
+        (_, _, overflow), (st, sc, par, ol) = jax.lax.scan(
+            frame, (states0, scores0, overflow0),
             (jnp.moveaxis(loglikes, 1, 0), ts),
         )
         return BeamOutputs(st, sc, par, ol, init_olab, overflow)
