@@ -112,6 +112,93 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_shard_map_train_step(
+    model_cfg: AcousticModelConfig,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    donate: bool = True,
+) -> Callable:
+    """Train step as `shard_map`: MANUAL data parallelism (explicit
+    gradient pmean over the `data` axis) with the `model` axis left to the
+    auto-sharding partitioner.
+
+    This is required when the per-direction LSTM recurrence runs as a
+    Pallas kernel: XLA cannot auto-partition a pallas_call over the batch,
+    so under plain jit a multi-chip run would all-gather and replicate it.
+    Inside shard_map each device runs the kernel on its local batch shard,
+    which is the intended SPMD (the shard_map analogue of the reference's
+    one-process-per-GPU data parallelism, minus the file averaging —
+    src/net/communicator.h)."""
+    from jax.sharding import PartitionSpec as P
+
+    from eesen_tpu.parallel.sharding import batch_pspec
+
+    def local_step(state: TrainState, batch, rng, learn_rate):
+        def loss_fn(p):
+            logits = apply_model(
+                p, batch["feats"], batch["feat_lengths"], model_cfg,
+                train=True, rng=rng,
+            )
+            nll = ctc_loss(
+                logits, batch["feat_lengths"], batch["labels"],
+                batch["label_lengths"],
+            )
+            # normalize by GLOBAL frame count so every shard computes the
+            # same objective scale
+            frames = jax.lax.psum(
+                jnp.sum(batch["feat_lengths"]), "data"
+            )
+            loss = jnp.sum(nll) / jnp.maximum(frames, 1).astype(nll.dtype)
+            argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return loss, {
+                "obj_sum": jnp.sum(nll), "frames": frames, "argmax": argmax,
+            }
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grads = jax.lax.psum(grads, "data")   # sum of per-frame-normalized
+        opt_state = state.opt_state._replace(
+            hyperparams=dict(
+                state.opt_state.hyperparams, learning_rate=learn_rate
+            )
+        )
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(
+            metrics,
+            loss=jax.lax.psum(loss, "data"),
+            obj_sum=jax.lax.psum(metrics["obj_sum"], "data"),
+        )
+        return TrainState(params, new_opt_state, state.step + 1), metrics
+
+    # build in/out specs: params replicated over data (model handled by
+    # the auto axis), batch sharded over data
+    def state_specs(state):
+        return TrainState(
+            params=jax.tree_util.tree_map(lambda _: P(), state.params),
+            opt_state=jax.tree_util.tree_map(lambda _: P(), state.opt_state),
+            step=P(),
+        )
+
+    b_specs = batch_pspec()
+    metric_specs = {"obj_sum": P(), "frames": P(), "argmax": P("data"),
+                    "loss": P()}
+
+    def step(state, batch, rng, learn_rate):
+        sm = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(state_specs(state), b_specs, P(), P()),
+            out_specs=(state_specs(state), metric_specs),
+            axis_names={"data"},     # manual over data; model stays auto
+            check_vma=False,
+        )
+        return sm(state, batch, rng, learn_rate)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(model_cfg: AcousticModelConfig) -> Callable:
     """Cross-validation step (no backprop) — the reference's
     --cross-validate=true mode (train-ctc-parallel.cc:116-119,206)."""
