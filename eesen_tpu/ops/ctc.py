@@ -173,6 +173,34 @@ def _shift_left_mask(mask_f: Array, n: int) -> Array:
     return jnp.pad(mask_f, pad, constant_values=LOG_ZERO)[..., n:]
 
 
+def _forward_backward_pallas(
+    lp_e, can_skip, logit_lengths, label_lengths, interpret: bool = False
+):
+    """Fused-kernel alpha/beta (ops/ctc_pallas) + the same final read as
+    the XLA path."""
+    from eesen_tpu.ops.ctc_pallas import ctc_alpha_beta_pallas
+
+    bsz, t_max, s_max = lp_e.shape
+    neg = jnp.float32(LOG_ZERO)
+    can_skip_f = jnp.where(can_skip, 0.0, neg)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (bsz, s_max), 1)
+    last_blank = 2 * label_lengths
+    last_label = jnp.maximum(2 * label_lengths - 1, 0)
+    is_final = (s_iota == last_blank[:, None]) | (
+        (s_iota == last_label[:, None]) & (label_lengths[:, None] > 0)
+    )
+    beta_init_row = jnp.where(is_final, 0.0, neg)
+    alpha, beta = ctc_alpha_beta_pallas(
+        lp_e, can_skip_f, beta_init_row, logit_lengths, interpret=interpret
+    )
+    a_fin = alpha[:, -1, :]
+    fin_b = jnp.take_along_axis(a_fin, last_blank[:, None], axis=1)[:, 0]
+    fin_l = jnp.take_along_axis(a_fin, last_label[:, None], axis=1)[:, 0]
+    fin_l = jnp.where(label_lengths > 0, fin_l, neg)
+    loglik = _log_add(fin_b, fin_l)
+    return loglik, alpha, beta
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def ctc_loss(
     logits: Array,
@@ -212,13 +240,29 @@ def _ctc_prep(logits, logit_lengths, labels, label_lengths, blank_id):
     return log_probs, elab, can_skip, valid_s, lp_e
 
 
+def _use_pallas_ctc() -> bool:
+    import os
+
+    mode = os.environ.get("EESEN_CTC_PALLAS", "auto")
+    if mode == "never":
+        return False
+    if mode == "always":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _ctc_forward(logits, logit_lengths, labels, label_lengths, blank_id):
     log_probs, elab, can_skip, valid_s, lp_e = _ctc_prep(
         logits, logit_lengths, labels, label_lengths, blank_id
     )
-    loglik, alpha, beta = ctc_forward_backward(
-        lp_e, can_skip, logit_lengths, label_lengths
-    )
+    if _use_pallas_ctc():
+        loglik, alpha, beta = _forward_backward_pallas(
+            lp_e, can_skip, logit_lengths, label_lengths
+        )
+    else:
+        loglik, alpha, beta = ctc_forward_backward(
+            lp_e, can_skip, logit_lengths, label_lengths
+        )
     nll = -loglik
     residuals = (log_probs, elab, valid_s, alpha, beta, loglik,
                  logit_lengths)
