@@ -169,6 +169,92 @@ def cmd_copy_feats(args) -> int:
     return _simple_transform(args, lambda f: f)
 
 
+def cmd_paste_feats(args) -> int:
+    """Concatenate feature streams per utterance dimension-wise
+    (reference: src/featbin/paste-feats.cc)."""
+    streams = [dict(read_rspecifier(r)) for r in args.in_rspecifiers]
+    out_ark, out_scp = _wspec(args.feats_wspecifier)
+
+    def gen():
+        for key in streams[0]:
+            if not all(key in s for s in streams):
+                continue
+            mats = [np.asarray(s[key]) for s in streams]
+            f = min(m.shape[0] for m in mats)
+            yield key, np.concatenate([m[:f] for m in mats], axis=1)
+
+    write_ark(out_ark, gen(), scp_path=out_scp)
+    return 0
+
+
+def cmd_extract_segments(args) -> int:
+    """Cut waveforms by a segments file (reference:
+    src/featbin/extract-segments.cc): each line 'utt rec start end'."""
+    from eesen_tpu.io.wave import read_wav
+
+    segments = []
+    with open(args.segments) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 4:
+                segments.append(
+                    (parts[0], parts[1], float(parts[2]), float(parts[3]))
+                )
+    wav_scp = read_scp(args.wav_rspecifier.split(":", 1)[1])
+    out_ark, out_scp = _wspec(args.wav_wspecifier)
+
+    def gen():
+        cache = {}
+        for utt, rec, start, end in segments:
+            if rec not in wav_scp:
+                continue
+            if rec not in cache:
+                cache.clear()
+                cache[rec] = read_wav(wav_scp[rec])
+            wave, sr = cache[rec]
+            s, e = int(start * sr), int(end * sr)
+            if e <= s or s >= wave.shape[1]:
+                continue
+            yield utt, wave[:1, s:e]
+
+    write_ark(out_ark, gen(), scp_path=out_scp)
+    return 0
+
+
+def cmd_compute_pitch(args) -> int:
+    """(= featbin/compute-kaldi-pitch-feats + process-kaldi-pitch-feats)"""
+    import jax.numpy as jnp
+    from eesen_tpu.frontend.pitch import (
+        PitchOptions, kaldi_pitch, process_pitch,
+    )
+    from eesen_tpu.io.wave import read_wav
+
+    opts = PitchOptions(
+        samp_freq=args.sample_frequency,
+        min_f0=args.min_f0, max_f0=args.max_f0,
+    )
+    wav_scp = read_scp(args.wav_rspecifier.split(":", 1)[1]) \
+        if args.wav_rspecifier.startswith("scp:") else None
+    out_ark, out_scp = _wspec(args.feats_wspecifier)
+
+    def gen():
+        items = (
+            wav_scp.items() if wav_scp is not None
+            else read_rspecifier(args.wav_rspecifier)
+        )
+        for key, src in items:
+            if isinstance(src, str):
+                wave, _ = read_wav(src)
+                wave = wave[0]
+            else:
+                wave = np.asarray(src).reshape(-1)
+            raw = kaldi_pitch(jnp.asarray(wave), opts)
+            yield key, np.asarray(process_pitch(raw, opts))
+
+    write_ark(out_ark, gen(), scp_path=out_scp)
+    return 0
+
+
 def cmd_feat_to_dim(args) -> int:
     for _, v in read_rspecifier(args.feats_rspecifier):
         print(v.shape[-1])
@@ -529,6 +615,25 @@ def main(argv=None) -> int:
     p.add_argument("feats_rspecifier")
     p.add_argument("feats_wspecifier")
     p.set_defaults(func=cmd_copy_feats)
+
+    p = sub.add_parser("paste-feats")
+    p.add_argument("in_rspecifiers", nargs="+")
+    p.add_argument("feats_wspecifier")
+    p.set_defaults(func=cmd_paste_feats)
+
+    p = sub.add_parser("extract-segments")
+    p.add_argument("wav_rspecifier")
+    p.add_argument("segments")
+    p.add_argument("wav_wspecifier")
+    p.set_defaults(func=cmd_extract_segments)
+
+    p = sub.add_parser("compute-kaldi-pitch-feats")
+    p.add_argument("--sample-frequency", type=float, default=16000.0)
+    p.add_argument("--min-f0", type=float, default=50.0)
+    p.add_argument("--max-f0", type=float, default=400.0)
+    p.add_argument("wav_rspecifier")
+    p.add_argument("feats_wspecifier")
+    p.set_defaults(func=cmd_compute_pitch)
 
     p = sub.add_parser("feat-to-dim")
     p.add_argument("feats_rspecifier")
