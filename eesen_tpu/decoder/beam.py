@@ -55,30 +55,30 @@ class BeamSearchConfig:
     # approximate top-k (jax.lax.approx_max_k): much cheaper on TPU for
     # large K; pruning becomes slightly approximate (recall ~0.95)
     approx_top_k: bool = False
+    # skip the (sort-heavy) Viterbi recombination on all but the LAST
+    # epsilon iteration: duplicates temporarily waste beam slots but the
+    # search stays exact as long as max_active has headroom
+    light_eps_dedup: bool = False
 
 
 class DeviceGraph(NamedTuple):
     """CompiledGraph arrays as device arrays (jit operands, not baked
-    constants)."""
-    emit_offsets: Array
-    emit_ilabel: Array
-    emit_olabel: Array
-    emit_weight: Array
-    emit_dst: Array
-    eps_offsets: Array
-    eps_olabel: Array
-    eps_weight: Array
-    eps_dst: Array
-    final_weight: Array
+    constants).  Arc fields are PACKED into [E, 4] int32 rows
+    (il, ol, weight_bits, dst) and offsets into [N, 2] (base, degree):
+    TPU gathers are latency-bound per index, so one packed-row gather
+    replaces four field gathers at the same cost."""
+    emit_off2: Array      # [N, 2] int32 (base, degree)
+    emit_packed: Array    # [Ee, 4] int32
+    eps_off2: Array       # [N, 2] int32
+    eps_packed: Array     # [En, 4] int32
+    final_weight: Array   # [N] float32
 
     @classmethod
     def put(cls, g: CompiledGraph) -> "DeviceGraph":
+        e_off, n_off = g.offsets_packed()
         return cls(
-            jnp.asarray(g.emit_offsets), jnp.asarray(g.emit_ilabel),
-            jnp.asarray(g.emit_olabel), jnp.asarray(g.emit_weight),
-            jnp.asarray(g.emit_dst),
-            jnp.asarray(g.eps_offsets), jnp.asarray(g.eps_olabel),
-            jnp.asarray(g.eps_weight), jnp.asarray(g.eps_dst),
+            jnp.asarray(e_off), jnp.asarray(g.emit_packed()),
+            jnp.asarray(n_off), jnp.asarray(g.eps_packed()),
             jnp.asarray(g.final_weight),
         )
 
@@ -94,30 +94,35 @@ class BeamOutputs(NamedTuple):
 
 def _expand(
     states: Array, scores: Array,
-    offsets: Array, weights: Array, dsts: Array, degree_cap: int,
-) -> Tuple[Array, Array, Array]:
-    """[B,K] actives -> [B,K*D] (arc_ids, dst, score w/o acoustic).
+    off2: Array, packed: Array, degree_cap: int,
+) -> Tuple[Array, Array, Array, Array]:
+    """[B,K] actives -> [B,K*D] (dst, score w/o acoustic, ilabel,
+    olabel) via ONE offsets gather + ONE packed-row gather.
     Dead/invalid slots produce +inf scores on dummy arcs."""
     b, k = states.shape
+    m = k * degree_cap
     safe_states = jnp.maximum(states, 0)
-    base = offsets[safe_states]                       # [B,K]
-    deg = offsets[safe_states + 1] - base             # [B,K]
+    od = off2[safe_states]                            # [B,K,2]
+    base, deg = od[..., 0], od[..., 1]
     j = jnp.arange(degree_cap, dtype=jnp.int32)
     aid = base[..., None] + j                         # [B,K,D]
     valid = (j < deg[..., None]) & (states >= 0)[..., None] \
         & jnp.isfinite(scores)[..., None]
-    aid_safe = jnp.clip(aid, 0, max(weights.shape[0] - 1, 0))
-    if weights.shape[0] == 0:
-        w = jnp.full(aid_safe.shape, jnp.inf, jnp.float32)
-        dst = jnp.zeros(aid_safe.shape, jnp.int32)
-    else:
-        w = jnp.where(valid, weights[aid_safe], INF)
-        dst = jnp.where(valid, dsts[aid_safe], 0)
+    n_arcs = packed.shape[0]
+    if n_arcs == 0:
+        score = jnp.full((b, m), jnp.inf, jnp.float32)
+        z = jnp.zeros((b, m), jnp.int32)
+        return z, score, z, z
+    aid_safe = jnp.clip(aid, 0, n_arcs - 1)
+    rows = packed[aid_safe]                           # [B,K,D,4]
+    il = jnp.where(valid, rows[..., 0], 0)
+    ol = jnp.where(valid, rows[..., 1], 0)
+    w = jax.lax.bitcast_convert_type(rows[..., 2], jnp.float32)
+    dst = jnp.where(valid, rows[..., 3], 0)
     score = jnp.where(valid, scores[..., None] + w, INF)
     return (
-        aid_safe.reshape(b, k * degree_cap),
-        dst.reshape(b, k * degree_cap),
-        score.reshape(b, k * degree_cap),
+        dst.reshape(b, m), score.reshape(b, m),
+        il.reshape(b, m), ol.reshape(b, m),
     )
 
 
@@ -134,13 +139,16 @@ def _dedup_and_prune(
     b, m = dst.shape
     best = jnp.min(score, axis=1, keepdims=True)
     score = jnp.where(score <= best + beam, score, INF)
-    ord1 = jnp.argsort(score, axis=1)
-    dst1 = jnp.take_along_axis(dst, ord1, axis=1)
-    score1 = jnp.take_along_axis(score, ord1, axis=1)
-    ord2 = jnp.argsort(dst1, axis=1, stable=True)
-    dst2 = jnp.take_along_axis(dst1, ord2, axis=1)
-    score2 = jnp.take_along_axis(score1, ord2, axis=1)
-    orig_idx = jnp.take_along_axis(ord1, ord2, axis=1)
+    idx0 = jnp.broadcast_to(
+        jnp.arange(m, dtype=jnp.int32)[None, :], (b, m)
+    )
+    # one variadic sort per pass carries all payloads with the key
+    score1, dst1, idx1 = jax.lax.sort(
+        (score, dst, idx0), num_keys=1, dimension=1
+    )
+    dst2, score2, orig_idx = jax.lax.sort(
+        (dst1, score1, idx1), num_keys=1, is_stable=True, dimension=1
+    )
     first = jnp.concatenate(
         [jnp.ones((b, 1), bool), dst2[:, 1:] != dst2[:, :-1]], axis=1
     )
@@ -188,20 +196,16 @@ def make_beam_decoder(
     scale = cfg.acoustic_scale
     start_state = graph.start
     approx = cfg.approx_top_k
+    light = cfg.light_eps_dedup
     L = MAX_OLABELS_PER_FRAME
 
     def eps_phase(dg, states, scores, parent, olab, overflow):
         """Fixed-iteration eps closure; composes frame-level backpointers.
         parent/olab describe each slot's within-frame history."""
-        def one_iter(carry, _):
+        def one_iter(carry, is_last):
             states, scores, parent, olab, overflow = carry
-            aid, dst, pscore = _expand(
-                states, scores, dg.eps_offsets, dg.eps_weight, dg.eps_dst,
-                d_n,
-            )
-            exp_olabel = (
-                dg.eps_olabel[aid] if dg.eps_olabel.shape[0] > 0
-                else jnp.zeros_like(aid)
+            dst, pscore, _, exp_olabel = _expand(
+                states, scores, dg.eps_off2, dg.eps_packed, d_n,
             )
             exp_olabel = jnp.where(jnp.isfinite(pscore), exp_olabel, 0)
             # expanded proposals inherit src slot's composed history
@@ -220,9 +224,27 @@ def make_beam_decoder(
             all_score = jnp.concatenate([scores, pscore], axis=1)
             all_parent = jnp.concatenate([parent, exp_parent], axis=1)
             all_olab = jnp.concatenate([olab, exp_olab], axis=1)
-            new_states, new_scores, top_idx = _dedup_and_prune(
-                all_dst, all_score, k, beam, approx
-            )
+            if light:
+                # cheap top-k-only pruning on intermediate iterations;
+                # a full recombination pass runs on the last one
+                def full(args):
+                    return _dedup_and_prune(args[0], args[1], k, beam, approx)
+
+                def lite(args):
+                    d, sc = args
+                    tn, ti = jax.lax.top_k(-sc, k)
+                    nsc = -tn
+                    nst = jnp.take_along_axis(d, ti, axis=1)
+                    nst = jnp.where(jnp.isfinite(nsc), nst, -1)
+                    return nst, nsc, ti
+
+                new_states, new_scores, top_idx = jax.lax.cond(
+                    is_last, full, lite, (all_dst, all_score)
+                )
+            else:
+                new_states, new_scores, top_idx = _dedup_and_prune(
+                    all_dst, all_score, k, beam, approx
+                )
             new_parent = jnp.take_along_axis(all_parent, top_idx, axis=1)
             new_olab = jnp.take_along_axis(
                 all_olab, top_idx[..., None], axis=1
@@ -231,9 +253,10 @@ def make_beam_decoder(
                 new_states, new_scores, new_parent, new_olab, overflow
             ), None
 
+        last_flags = jnp.arange(eps_iters) == (eps_iters - 1)
         (states, scores, parent, olab, overflow), _ = jax.lax.scan(
             one_iter, (states, scores, parent, olab, overflow),
-            None, length=eps_iters,
+            last_flags,
         )
         return states, scores, parent, olab, overflow
 
@@ -251,11 +274,9 @@ def make_beam_decoder(
         def frame(carry, inp):
             states, scores, overflow = carry
             ll_t, t = inp          # [B, V], scalar
-            aid, dst, pscore = _expand(
-                states, scores, dg.emit_offsets, dg.emit_weight,
-                dg.emit_dst, d_e,
+            dst, pscore, il, ol = _expand(
+                states, scores, dg.emit_off2, dg.emit_packed, d_e,
             )
-            il = dg.emit_ilabel[aid]                    # [B, K*D]
             col = jnp.clip(il - 1, 0, v - 1)            # tid-1 shift
             ac = -scale * jnp.take_along_axis(ll_t, col, axis=1)
             pscore = jnp.where(jnp.isfinite(pscore), pscore + ac, INF)
@@ -264,10 +285,10 @@ def make_beam_decoder(
             )
             # frame-level parent = previous frame slot of the emitting arc
             parent = e_idx // d_e
-            e_aid = jnp.take_along_axis(aid, e_idx, axis=1)
             olab0_f = jnp.zeros((b, k, L), jnp.int32)
             emit_ol = jnp.where(
-                jnp.isfinite(e_scores), dg.emit_olabel[e_aid], 0
+                jnp.isfinite(e_scores),
+                jnp.take_along_axis(ol, e_idx, axis=1), 0,
             )
             olab, overflow = _append_olabel(olab0_f, emit_ol, overflow)
             n_states_, n_scores, parent, olab, overflow = eps_phase(

@@ -60,23 +60,79 @@ class CompiledGraph:
     def num_eps_arcs(self) -> int:
         return len(self.eps_dst)
 
+    # ---- packed views (built lazily, cached) ----
+    # One gather of an [E, 4] int32 row costs the same as one [E] gather on
+    # TPU (gathers are latency-bound per index, not per byte), so the
+    # search gathers packed rows instead of 3-4 separate field arrays.
+    def emit_packed(self) -> np.ndarray:
+        """[Ee, 4] int32: (ilabel, olabel, weight_bits, dst)."""
+        if not hasattr(self, "_emit_packed"):
+            self._emit_packed = np.stack(
+                [
+                    self.emit_ilabel,
+                    self.emit_olabel,
+                    self.emit_weight.view(np.int32),
+                    self.emit_dst,
+                ],
+                axis=1,
+            ).astype(np.int32)
+        return self._emit_packed
+
+    def eps_packed(self) -> np.ndarray:
+        """[En, 4] int32: (0, olabel, weight_bits, dst)."""
+        if not hasattr(self, "_eps_packed"):
+            z = np.zeros_like(self.eps_dst)
+            self._eps_packed = np.stack(
+                [z, self.eps_olabel, self.eps_weight.view(np.int32),
+                 self.eps_dst],
+                axis=1,
+            ).astype(np.int32)
+        return self._eps_packed
+
+    def offsets_packed(self) -> Tuple[np.ndarray, np.ndarray]:
+        """([N, 2] int32 (emit base, emit degree),
+        [N, 2] int32 (eps base, eps degree))."""
+        if not hasattr(self, "_off_packed"):
+            def pack(off):
+                return np.stack(
+                    [off[:-1], off[1:] - off[:-1]], axis=1
+                ).astype(np.int32)
+            self._off_packed = (
+                pack(self.emit_offsets), pack(self.eps_offsets)
+            )
+        return self._off_packed
+
 
 def _cap_degree(fst: Fst, max_degree: int) -> Fst:
-    """Split states whose out-degree exceeds max_degree into balanced
-    epsilon trees. Returns a new Fst with identical weighted behavior."""
+    """Split states whose out-degree exceeds max_degree into BALANCED
+    epsilon trees (branching = max_degree), so the added epsilon depth is
+    logarithmic in the original degree rather than linear.  Returns a new
+    Fst with identical weighted behavior."""
     out = fst.copy()
     s = 0
     while s < out.num_states:   # new states appended get revisited
         arcs = out.arcs[s]
         if len(arcs) > max_degree:
-            # keep the first (max_degree - 1) arcs; push the rest down to a
-            # fresh aux state linked by a free epsilon arc
-            keep = arcs[: max_degree - 1]
-            rest = arcs[max_degree - 1:]
-            aux = out.add_state()
-            out.arcs[aux] = rest
-            out.arcs[s] = keep + [Arc(EPS, EPS, 0.0, aux)]
-        s += 1
+            # partition ALL arcs into ceil(n / max_degree) groups; the
+            # state keeps one eps arc per group (plus the groups re-split
+            # recursively when there are more groups than max_degree,
+            # handled by revisiting the aux states in this same loop)
+            groups = [
+                arcs[i : i + max_degree]
+                for i in range(0, len(arcs), max_degree)
+            ]
+            new_arcs = []
+            for grp in groups:
+                aux = out.add_state()
+                out.arcs[aux] = grp
+                new_arcs.append(Arc(EPS, EPS, 0.0, aux))
+            out.arcs[s] = new_arcs
+            # don't advance: if there are more groups than max_degree the
+            # state re-splits, building the tree level by level
+            if len(new_arcs) <= max_degree:
+                s += 1
+        else:
+            s += 1
     return out
 
 
