@@ -56,6 +56,14 @@ class BiLstmConfig:
     recurrent_dropout: float = 0.0
     forward_step_dropout: bool = False     # new mask per step (else per sequence)
     recurrent_step_dropout: bool = False
+    # recurrent dropout applies to the CELL update, in one of the
+    # reference's two modes (bilstm-parallel-layer.h:269-276):
+    #   rnndrop     : c_t = mask * (i*g + f*c_{t-1})
+    #   no_mem_loss : c_t = mask * (i*g) + f*c_{t-1}   (memory preserved)
+    recurrent_dropout_mode: str = "no_mem_loss"   # or "rnndrop"
+    # twiddle: stochastically apply recurrent dropout to only one of the
+    # two directions per batch (bilstm-parallel-layer.h:385-405)
+    twiddle: bool = False
     # compute dtype for the big matmuls; state stays float32
     compute_dtype: jnp.dtype = jnp.bfloat16
     # fused Pallas recurrence: "auto" uses it on TPU when no recurrent
@@ -148,18 +156,24 @@ def _direction_scan(
     w_m = p["w_gifo_m"].astype(cdt)
     ph_i, ph_f, ph_o = p["phole_i_c"], p["phole_f_c"], p["phole_o_c"]
 
+    rnndrop = cfg.recurrent_dropout_mode == "rnndrop"
+
     def step(carry, inp):
         c_prev, m_prev = carry
         xw_t, mask_t, rd_t = inp
-        m_in = m_prev if rd_t is None else m_prev * rd_t
         gifo = xw_t + jnp.einsum(
-            "bh,hgk->bgk", m_in.astype(cdt), w_m,
+            "bh,hgk->bgk", m_prev.astype(cdt), w_m,
             preferred_element_type=jnp.float32,
         )
         g = jnp.tanh(gifo[:, 0])
         i = jax.nn.sigmoid(gifo[:, 1] + c_prev * ph_i)
         f = jax.nn.sigmoid(gifo[:, 2] + c_prev * ph_f)
-        c = f * c_prev + i * g
+        cand = i * g
+        if rd_t is not None and not rnndrop:   # no_mem_loss
+            cand = cand * rd_t
+        c = f * c_prev + cand
+        if rd_t is not None and rnndrop:
+            c = c * rd_t
         o = jax.nn.sigmoid(gifo[:, 3] + c * ph_o)
         m = o * jnp.tanh(c)
         mt = mask_t[:, None]
@@ -222,7 +236,7 @@ def bilstm_layer(
     rd_fw = rd_bw = None
     if train and cfg.recurrent_dropout > 0.0:
         assert rng is not None, "recurrent dropout needs an rng"
-        k1, k2, rng = jax.random.split(rng, 3)
+        k1, k2, kt, rng = jax.random.split(rng, 4)
         rd_fw = _dropout_mask(
             k1, cfg.recurrent_dropout, cfg.recurrent_step_dropout,
             b, t_max, cfg.cell_dim,
@@ -231,6 +245,14 @@ def bilstm_layer(
             k2, cfg.recurrent_dropout, cfg.recurrent_step_dropout,
             b, t_max, cfg.cell_dim,
         )
+        if cfg.twiddle:
+            # apply dropout to exactly one direction, chosen at random
+            # (the reference's twiddle alternation,
+            # bilstm-parallel-layer.h:385-405)
+            ones = jnp.ones_like(rd_fw)
+            pick_fw = jax.random.bernoulli(kt, 0.5)
+            rd_fw = jnp.where(pick_fw, rd_fw, ones)
+            rd_bw = jnp.where(pick_fw, ones, rd_bw)
 
     m_fw = _direction_scan(params["fw"], x, mask, cfg, rd_fw)
 

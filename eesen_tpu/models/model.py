@@ -41,6 +41,8 @@ class AcousticModelConfig:
     recurrent_dropout: float = 0.0
     forward_step_dropout: bool = False
     recurrent_step_dropout: bool = False
+    recurrent_dropout_mode: str = "no_mem_loss"
+    twiddle: bool = False
     compute_dtype: Any = jnp.bfloat16
     use_pallas: str = "auto"
 
@@ -55,6 +57,8 @@ class AcousticModelConfig:
             recurrent_dropout=self.recurrent_dropout,
             forward_step_dropout=self.forward_step_dropout,
             recurrent_step_dropout=self.recurrent_step_dropout,
+            recurrent_dropout_mode=self.recurrent_dropout_mode,
+            twiddle=self.twiddle,
             compute_dtype=self.compute_dtype,
             use_pallas=self.use_pallas,
         )

@@ -125,8 +125,12 @@ RECIPES = {
         pipeline=_SPLICE_SKIP3,
         model=_model(
             4, 640, 360,
+            # nml_seq_fw_seq_tw: no-mem-loss recurrent dropout with
+            # per-sequence masks, forward sequence dropout, twiddle
+            # (config/nnet.proto.nml_seq_fw_seq_tw)
             forward_dropout=0.2, recurrent_dropout=0.2,
             forward_step_dropout=False, recurrent_step_dropout=False,
+            recurrent_dropout_mode="no_mem_loss", twiddle=True,
         ),
         optimizer=_SGD,
         newbob=NewbobConfig(learn_rate=4e-5, max_iters=25),
