@@ -9,21 +9,22 @@ static shapes and data parallelism:
 - The active set is a fixed-size array of K slots per utterance
   ([B, K] state ids + scores, dead slots = +inf), not a hash map.
 - Arc expansion is a dense [B, K, D] gather from degree-capped CSR tables
-  (see graph_compile.py) — every step has the same shape, so the whole
-  T-frame search is ONE `lax.scan` compiled once.
+  (see graph_compile.py), with arc fields PACKED into [E, 4] int32 rows so
+  each expansion costs ONE gather (TPU gathers are latency-bound per
+  index, not per byte).
+- High-fanout "hub" states (LM unigram/backoff targets) are expanded
+  DENSELY every frame — contiguous vector math over their arc tables, no
+  gather at all — with their source score reduced from the active set.
 - Viterbi recombination (the hash-map min in the reference) is sort-based:
-  proposals are sorted by score then stably by destination state, so the
-  best proposal per state is the first of each run — no scatter at all
-  (TPU scatter-with-min lowers catastrophically slowly on some platforms),
-  and per-frame cost is O(K*D log(K*D)) independent of graph size.
-- Pruning = beam threshold against the per-utterance best + top_k to K
-  (the reference's adaptive max_active cutoff, faster-decoder.cc GetCutoff).
-- Epsilon closure (blank-structure + LM-backoff arcs) runs a fixed number
-  of iterations = the graph's eps depth.
-- Backpointers are composed WITHIN each frame (emitting arc + the eps
-  chain behind it), so the scan emits one parent-slot plus up to
-  MAX_OLABELS_PER_FRAME output labels per slot per frame; the best path is
-  recovered by a trivial host walk (traceback()).
+  two variadic `lax.sort` passes (by score, then stably by destination)
+  make the best proposal per state the first of its run — no scatter
+  (TPU scatter-with-min lowers catastrophically slowly on some platforms).
+- Epsilon closure runs either as ONE precomputed-transitive-closure
+  expansion (graphs compiled with build_closure=True) or as eps-depth
+  iterations.
+- Backpointers are composed WITHIN each frame, so the scan emits one
+  parent slot plus up to MAX_OLABELS_PER_FRAME output labels per slot per
+  frame; the best path is recovered by a trivial host walk (traceback()).
 
 Batched over utterances sharing one graph; shard the batch axis over a
 mesh for multi-chip decoding.
@@ -32,8 +33,7 @@ mesh for multi-chip decoding.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Dict, List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,23 +62,45 @@ class BeamSearchConfig:
 
 
 class DeviceGraph(NamedTuple):
-    """CompiledGraph arrays as device arrays (jit operands, not baked
-    constants).  Arc fields are PACKED into [E, 4] int32 rows
-    (il, ol, weight_bits, dst) and offsets into [N, 2] (base, degree):
-    TPU gathers are latency-bound per index, so one packed-row gather
-    replaces four field gathers at the same cost."""
+    """CompiledGraph arrays as device arrays (jit operands)."""
     emit_off2: Array      # [N, 2] int32 (base, degree)
-    emit_packed: Array    # [Ee, 4] int32
-    eps_off2: Array       # [N, 2] int32
-    eps_packed: Array     # [En, 4] int32
+    emit_packed: Array    # [Ee, 4] int32 (il, ol, w_bits, dst)
+    eps_off2: Array       # [N, 2]
+    eps_packed: Array     # [En, 4]
+    closure_off2: Array   # [N, 2] (zero rows when absent)
+    closure_packed: Array  # [Ec, 4]
+    hub_src: Array        # [H] int32 (may be empty)
+    hub_of_arc: Array     # [Eh] int32 (hub index per hub arc)
+    hub_packed: Array     # [Eh, 4] int32
     final_weight: Array   # [N] float32
 
     @classmethod
     def put(cls, g: CompiledGraph) -> "DeviceGraph":
         e_off, n_off = g.offsets_packed()
+        if g.has_closure:
+            c_off = g.closure_off2()
+            c_packed = g.closure_packed
+        else:
+            c_off = np.zeros((0, 2), np.int32)
+            c_packed = np.zeros((0, 4), np.int32)
+        hub_src = (
+            g.hub_src if g.hub_src is not None else np.zeros(0, np.int32)
+        )
+        if g.hub_offsets is not None and len(hub_src) > 0:
+            hub_of_arc = np.repeat(
+                np.arange(len(hub_src), dtype=np.int32),
+                np.diff(g.hub_offsets),
+            )
+            hub_packed = g.hub_packed
+        else:
+            hub_of_arc = np.zeros(0, np.int32)
+            hub_packed = np.zeros((0, 4), np.int32)
         return cls(
             jnp.asarray(e_off), jnp.asarray(g.emit_packed()),
             jnp.asarray(n_off), jnp.asarray(g.eps_packed()),
+            jnp.asarray(c_off), jnp.asarray(c_packed),
+            jnp.asarray(hub_src), jnp.asarray(hub_of_arc),
+            jnp.asarray(hub_packed),
             jnp.asarray(g.final_weight),
         )
 
@@ -97,8 +119,7 @@ def _expand(
     off2: Array, packed: Array, degree_cap: int,
 ) -> Tuple[Array, Array, Array, Array]:
     """[B,K] actives -> [B,K*D] (dst, score w/o acoustic, ilabel,
-    olabel) via ONE offsets gather + ONE packed-row gather.
-    Dead/invalid slots produce +inf scores on dummy arcs."""
+    olabel) via ONE offsets gather + ONE packed-row gather."""
     b, k = states.shape
     m = k * degree_cap
     safe_states = jnp.maximum(states, 0)
@@ -130,19 +151,14 @@ def _dedup_and_prune(
     dst: Array, score: Array, k: int, beam: float, approx: bool = False,
 ) -> Tuple[Array, Array, Array]:
     """Viterbi-recombine proposals sharing a destination state, apply the
-    beam, keep the best K.
-
-    Sort-based: ascending-score sort, then a STABLE sort by destination
-    state; the first entry of every destination run is its best proposal.
-    Returns (new_states [B,K], new_scores [B,K], kept proposal idx [B,K]
-    into the original proposal axis)."""
+    beam, keep the best K.  Returns (new_states [B,K], new_scores [B,K],
+    kept proposal idx [B,K] into the original proposal axis)."""
     b, m = dst.shape
     best = jnp.min(score, axis=1, keepdims=True)
     score = jnp.where(score <= best + beam, score, INF)
     idx0 = jnp.broadcast_to(
         jnp.arange(m, dtype=jnp.int32)[None, :], (b, m)
     )
-    # one variadic sort per pass carries all payloads with the key
     score1, dst1, idx1 = jax.lax.sort(
         (score, dst, idx0), num_keys=1, dimension=1
     )
@@ -190,8 +206,10 @@ def make_beam_decoder(
     k = cfg.max_active
     d_e = max(graph.max_emit_degree, 1)
     d_n = max(graph.max_eps_degree, 1)
+    use_closure = graph.has_closure
+    d_c = max(graph.max_closure_degree, 1)
+    has_hubs = graph.has_hubs
     eps_iters = cfg.eps_iters or max(graph.eps_depth, 1)
-    n_total = graph.num_states
     beam = cfg.beam
     scale = cfg.acoustic_scale
     start_state = graph.start
@@ -199,64 +217,78 @@ def make_beam_decoder(
     light = cfg.light_eps_dedup
     L = MAX_OLABELS_PER_FRAME
 
+    def _closure_step(states, scores, parent, olab, overflow, off2,
+                      packed, dcap, do_full_dedup=True):
+        """One eps/closure expansion merged with the carried set."""
+        dst, pscore, _, exp_ol = _expand(
+            states, scores, off2, packed, dcap
+        )
+        exp_ol = jnp.where(jnp.isfinite(pscore), exp_ol, 0)
+        src_slot = jnp.repeat(
+            jnp.arange(k, dtype=jnp.int32)[None, :], states.shape[0], 0
+        )
+        src_of_prop = jnp.repeat(src_slot, dcap, axis=1)
+        exp_parent = jnp.take_along_axis(parent, src_of_prop, axis=1)
+        exp_olab = jnp.take_along_axis(
+            olab, src_of_prop[..., None], axis=1
+        )
+        exp_olab, overflow = _append_olabel(exp_olab, exp_ol, overflow)
+        all_dst = jnp.concatenate([jnp.maximum(states, 0), dst], axis=1)
+        all_score = jnp.concatenate([scores, pscore], axis=1)
+        all_parent = jnp.concatenate([parent, exp_parent], axis=1)
+        all_olab = jnp.concatenate([olab, exp_olab], axis=1)
+        if do_full_dedup:
+            new_states, new_scores, top_idx = _dedup_and_prune(
+                all_dst, all_score, k, beam, approx
+            )
+        else:
+            tn, ti = jax.lax.top_k(-all_score, k)
+            new_scores = -tn
+            new_states = jnp.where(
+                jnp.isfinite(new_scores),
+                jnp.take_along_axis(all_dst, ti, axis=1), -1,
+            )
+            top_idx = ti
+        new_parent = jnp.take_along_axis(all_parent, top_idx, axis=1)
+        new_olab = jnp.take_along_axis(
+            all_olab, top_idx[..., None], axis=1
+        )
+        return new_states, new_scores, new_parent, new_olab, overflow
+
     def eps_phase(dg, states, scores, parent, olab, overflow):
-        """Fixed-iteration eps closure; composes frame-level backpointers.
-        parent/olab describe each slot's within-frame history."""
+        if use_closure:
+            return _closure_step(
+                states, scores, parent, olab, overflow,
+                dg.closure_off2, dg.closure_packed, d_c,
+            )
+
         def one_iter(carry, is_last):
             states, scores, parent, olab, overflow = carry
-            dst, pscore, _, exp_olabel = _expand(
-                states, scores, dg.eps_off2, dg.eps_packed, d_n,
-            )
-            exp_olabel = jnp.where(jnp.isfinite(pscore), exp_olabel, 0)
-            # expanded proposals inherit src slot's composed history
-            src_slot = jnp.repeat(
-                jnp.arange(k, dtype=jnp.int32)[None, :], states.shape[0], 0
-            )
-            src_of_prop = jnp.repeat(src_slot, d_n, axis=1)  # [B, K*D]
-            exp_parent = jnp.take_along_axis(parent, src_of_prop, axis=1)
-            exp_olab = jnp.take_along_axis(
-                olab, src_of_prop[..., None], axis=1
-            )
-            exp_olab, overflow = _append_olabel(
-                exp_olab, exp_olabel, overflow
-            )
-            all_dst = jnp.concatenate([jnp.maximum(states, 0), dst], axis=1)
-            all_score = jnp.concatenate([scores, pscore], axis=1)
-            all_parent = jnp.concatenate([parent, exp_parent], axis=1)
-            all_olab = jnp.concatenate([olab, exp_olab], axis=1)
             if light:
-                # cheap top-k-only pruning on intermediate iterations;
-                # a full recombination pass runs on the last one
                 def full(args):
-                    return _dedup_and_prune(args[0], args[1], k, beam, approx)
+                    return _closure_step(
+                        *args, dg.eps_off2, dg.eps_packed, d_n, True
+                    )
 
                 def lite(args):
-                    d, sc = args
-                    tn, ti = jax.lax.top_k(-sc, k)
-                    nsc = -tn
-                    nst = jnp.take_along_axis(d, ti, axis=1)
-                    nst = jnp.where(jnp.isfinite(nsc), nst, -1)
-                    return nst, nsc, ti
+                    return _closure_step(
+                        *args, dg.eps_off2, dg.eps_packed, d_n, False
+                    )
 
-                new_states, new_scores, top_idx = jax.lax.cond(
-                    is_last, full, lite, (all_dst, all_score)
+                out = jax.lax.cond(
+                    is_last, full, lite,
+                    (states, scores, parent, olab, overflow),
                 )
             else:
-                new_states, new_scores, top_idx = _dedup_and_prune(
-                    all_dst, all_score, k, beam, approx
+                out = _closure_step(
+                    states, scores, parent, olab, overflow,
+                    dg.eps_off2, dg.eps_packed, d_n, True,
                 )
-            new_parent = jnp.take_along_axis(all_parent, top_idx, axis=1)
-            new_olab = jnp.take_along_axis(
-                all_olab, top_idx[..., None], axis=1
-            )
-            return (
-                new_states, new_scores, new_parent, new_olab, overflow
-            ), None
+            return out, None
 
         last_flags = jnp.arange(eps_iters) == (eps_iters - 1)
         (states, scores, parent, olab, overflow), _ = jax.lax.scan(
-            one_iter, (states, scores, parent, olab, overflow),
-            last_flags,
+            one_iter, (states, scores, parent, olab, overflow), last_flags
         )
         return states, scores, parent, olab, overflow
 
@@ -280,11 +312,45 @@ def make_beam_decoder(
             col = jnp.clip(il - 1, 0, v - 1)            # tid-1 shift
             ac = -scale * jnp.take_along_axis(ll_t, col, axis=1)
             pscore = jnp.where(jnp.isfinite(pscore), pscore + ac, INF)
+            slot_idx = jnp.repeat(
+                jnp.arange(k, dtype=jnp.int32)[None, :], b, 0
+            )
+            parent_e = jnp.repeat(slot_idx, d_e, axis=1)    # [B, K*D]
+
+            if has_hubs:
+                # dense expansion of hub-state arcs: contiguous vector
+                # math over the hub tables, no gather
+                eq = states[:, :, None] == dg.hub_src[None, None, :]
+                msk = jnp.where(
+                    eq & jnp.isfinite(scores)[:, :, None],
+                    scores[:, :, None], INF,
+                )                                           # [B,K,H]
+                hub_score = jnp.min(msk, axis=1)            # [B,H]
+                hub_parent = jnp.argmin(msk, axis=1).astype(jnp.int32)
+                hp = dg.hub_packed
+                il_h, ol_h = hp[:, 0], hp[:, 1]
+                w_h = jax.lax.bitcast_convert_type(hp[:, 2], jnp.float32)
+                dst_h = hp[:, 3]
+                arc_hub = dg.hub_of_arc                     # [Eh]
+                sc_h = (
+                    hub_score[:, arc_hub] + w_h[None, :]
+                    - scale * ll_t[:, jnp.clip(il_h - 1, 0, v - 1)]
+                )                                           # [B,Eh]
+                par_h = hub_parent[:, arc_hub]              # [B,Eh]
+                eh = hp.shape[0]
+                dst = jnp.concatenate(
+                    [dst, jnp.broadcast_to(dst_h[None], (b, eh))], axis=1
+                )
+                pscore = jnp.concatenate([pscore, sc_h], axis=1)
+                ol = jnp.concatenate(
+                    [ol, jnp.broadcast_to(ol_h[None], (b, eh))], axis=1
+                )
+                parent_e = jnp.concatenate([parent_e, par_h], axis=1)
+
             e_states, e_scores, e_idx = _dedup_and_prune(
                 dst, pscore, k, beam, approx
             )
-            # frame-level parent = previous frame slot of the emitting arc
-            parent = e_idx // d_e
+            parent = jnp.take_along_axis(parent_e, e_idx, axis=1)
             olab0_f = jnp.zeros((b, k, L), jnp.int32)
             emit_ol = jnp.where(
                 jnp.isfinite(e_scores),
@@ -297,7 +363,6 @@ def make_beam_decoder(
             active = (t < lengths)[:, None]
             out_states = jnp.where(active, n_states_, states)
             out_scores = jnp.where(active, n_scores, scores)
-            # frozen frames: identity parents, no labels
             ident = jnp.repeat(jnp.arange(k, dtype=jnp.int32)[None], b, 0)
             out_parent = jnp.where(active, parent, ident)
             out_olab = jnp.where(active[..., None], olab, 0)

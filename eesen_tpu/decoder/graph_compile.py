@@ -22,7 +22,7 @@ The compiled graph is a set of numpy arrays ready to `jax.device_put`.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -51,6 +51,28 @@ class CompiledGraph:
     max_emit_degree: int
     max_eps_degree: int
     eps_depth: int                  # max eps-chain length (closure iters)
+    # hub tables: dense always-expanded emit arcs of high-fanout states
+    hub_src: Optional[np.ndarray] = None        # [H] int32
+    hub_offsets: Optional[np.ndarray] = None    # [H+1] int32
+    hub_packed: Optional[np.ndarray] = None     # [Eh, 4] int32
+    # precomputed eps transitive closure (single-phase expansion)
+    closure_offsets: Optional[np.ndarray] = None  # [N+1] int32
+    closure_packed: Optional[np.ndarray] = None   # [Ec, 4] int32
+    max_closure_degree: int = 0
+
+    @property
+    def has_hubs(self) -> bool:
+        return self.hub_src is not None and len(self.hub_src) > 0
+
+    @property
+    def has_closure(self) -> bool:
+        return self.closure_offsets is not None
+
+    def closure_off2(self) -> np.ndarray:
+        off = self.closure_offsets
+        return np.stack([off[:-1], off[1:] - off[:-1]], axis=1).astype(
+            np.int32
+        )
 
     @property
     def num_emit_arcs(self) -> int:
@@ -156,8 +178,69 @@ def _eps_depth(fst: Fst, cap: int = 64) -> int:
     return cap
 
 
-def compile_graph(fst: Fst, max_degree: int = 16) -> CompiledGraph:
-    """Compact a TLG Fst into CSR device tables with bounded out-degree."""
+def _eps_closure_tables(
+    rows: List[List[Arc]], n: int, depth_cap: int = 64
+) -> Tuple[List[List[Tuple[int, float, int]]], int]:
+    """Transitive closure of the eps subgraph (a DAG by construction).
+
+    Returns per-state lists of (dst, weight, first_olabel) for every
+    eps-reachable state (identity excluded), Viterbi-combined (min weight
+    per dst), and the max closure out-degree."""
+    # reverse-topological processing via repeated relaxation (depth-bounded)
+    closure: List[Dict[int, Tuple[float, int]]] = [dict() for _ in range(n)]
+    for s in range(n):
+        for a in rows[s]:
+            old = closure[s].get(a.nextstate)
+            if old is None or a.weight < old[0]:
+                closure[s][a.nextstate] = (a.weight, a.olabel)
+    for _ in range(depth_cap):
+        changed = False
+        for s in range(n):
+            items = list(closure[s].items())
+            for mid, (w1, o1) in items:
+                for dst, (w2, o2) in closure[mid].items():
+                    w = w1 + w2
+                    o = o1 if o1 else o2
+                    old = closure[s].get(dst)
+                    if old is None or w < old[0] - 1e-12:
+                        closure[s][dst] = (w, o)
+                        changed = True
+        if not changed:
+            break
+    out = [
+        sorted((dst, w, o) for dst, (w, o) in closure[s].items())
+        for s in range(n)
+    ]
+    max_deg = max((len(x) for x in out), default=0)
+    return out, max_deg
+
+
+def compile_graph(
+    fst: Fst,
+    max_degree: int = 16,
+    hub_threshold: int = 0,
+    build_closure: bool = False,
+) -> CompiledGraph:
+    """Compact a TLG Fst into CSR device tables with bounded out-degree.
+
+    hub_threshold > 0 extracts the emitting arcs of states whose raw
+    out-degree is >= the threshold into dense "hub" tables (expanded
+    unconditionally every frame, no gather); this keeps high-fanout LM
+    states out of the degree-capping aux trees.  build_closure=True also
+    precomputes the epsilon transitive closure so the search runs ONE
+    closure expansion instead of eps-depth iterations."""
+    hub_src: List[int] = []
+    hub_rows: List[List[Arc]] = []
+    if hub_threshold > 0:
+        work = fst.copy()
+        for s in range(work.num_states):
+            emit = [a for a in work.arcs[s] if a.ilabel != EPS]
+            if len(emit) >= hub_threshold:
+                hub_src.append(s)
+                hub_rows.append(emit)
+                work.arcs[s] = [a for a in work.arcs[s] if a.ilabel == EPS]
+        fst = work
+
     capped = _cap_degree(fst, max_degree)
     n = capped.num_states
 
@@ -196,7 +279,7 @@ def compile_graph(fst: Fst, max_degree: int = 16) -> CompiledGraph:
 
     max_e = max((len(r) for r in emit_rows), default=0)
     max_n = max((len(r) for r in eps_rows), default=0)
-    return CompiledGraph(
+    g = CompiledGraph(
         num_states=n,
         start=capped.start,
         emit_offsets=eo, emit_ilabel=eil, emit_olabel=eol,
@@ -207,3 +290,39 @@ def compile_graph(fst: Fst, max_degree: int = 16) -> CompiledGraph:
         max_eps_degree=max_n,
         eps_depth=_eps_depth(capped),
     )
+
+    # ---- hub tables ----
+    if hub_src:
+        g.hub_src = np.asarray(hub_src, dtype=np.int32)
+        offs = np.zeros(len(hub_src) + 1, dtype=np.int32)
+        rows4 = []
+        for i, arcs in enumerate(hub_rows):
+            offs[i + 1] = offs[i] + len(arcs)
+            for a in arcs:
+                rows4.append(
+                    (a.ilabel, a.olabel,
+                     np.float32(a.weight).view(np.int32), a.nextstate)
+                )
+        g.hub_offsets = offs
+        g.hub_packed = np.asarray(rows4, dtype=np.int32).reshape(-1, 4)
+    else:
+        g.hub_src = np.zeros(0, dtype=np.int32)
+        g.hub_offsets = np.zeros(1, dtype=np.int32)
+        g.hub_packed = np.zeros((0, 4), dtype=np.int32)
+
+    # ---- eps closure tables ----
+    if build_closure:
+        clos, cmax = _eps_closure_tables(eps_rows, n)
+        coffs = np.zeros(n + 1, dtype=np.int32)
+        rows4 = []
+        for s in range(n):
+            coffs[s + 1] = coffs[s] + len(clos[s])
+            for dst, w, o in clos[s]:
+                rows4.append((0, o, np.float32(w).view(np.int32), dst))
+        g.closure_offsets = coffs
+        g.closure_packed = (
+            np.asarray(rows4, dtype=np.int32).reshape(-1, 4)
+            if rows4 else np.zeros((0, 4), dtype=np.int32)
+        )
+        g.max_closure_degree = cmax
+    return g

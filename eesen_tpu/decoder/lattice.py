@@ -314,11 +314,18 @@ def lattice_from_beam(
         graph.eps_offsets, graph.eps_weight, graph.eps_dst, graph.eps_olabel,
     )
 
+    _reach_cache: Dict[int, List[Tuple[int, float, int]]] = {}
+
     def eps_reach(src_state: int) -> List[Tuple[int, float, int]]:
         """(reachable_state, eps_cost, first_olabel) via eps arcs (depth
         bounded).  olabel chains >1 collapse to the first nonzero (word
         sequences inside one hop are rare; full fidelity via beam.py's
-        traceback)."""
+        traceback).  Cached per graph state — the same states recur every
+        frame, so this turns the reconstruction from O(T*K*closure) into
+        O(touched-states*closure)."""
+        hit = _reach_cache.get(src_state)
+        if hit is not None:
+            return hit
         out = [(src_state, 0.0, 0)]
         frontier = [(src_state, 0.0, 0)]
         for _ in range(graph.eps_depth):
@@ -331,6 +338,7 @@ def lattice_from_beam(
             frontier = nxt
             if not frontier:
                 break
+        _reach_cache[src_state] = out
         return out
 
     v = loglikes.shape[1]

@@ -233,7 +233,13 @@ class Trainer:
         )
         if mesh is not None:
             self.state = shard_state(self.state, mesh)
-        self.train_step = make_train_step(cfg.model, self.tx)
+            # manual-DP shard_map step: required for the Pallas LSTM to
+            # run on local shards instead of being replicated by jit
+            self.train_step = make_shard_map_train_step(
+                cfg.model, self.tx, mesh
+            )
+        else:
+            self.train_step = make_train_step(cfg.model, self.tx)
         self.eval_step = make_eval_step(cfg.model)
         self.sched = NewbobScheduler(cfg.newbob)
 

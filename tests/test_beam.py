@@ -144,3 +144,42 @@ def test_beam_narrow_still_decodes(tlg):
     out = decoder(jnp.asarray(ll[None]), jnp.asarray([len(ll)]), dg)
     (words, cost), = traceback(out, np.asarray([len(ll)]), g.final_weight)
     assert [lang.words.sym(w) for w in words] == ["ab", "ba"]
+
+
+@pytest.mark.parametrize("hub_threshold,closure", [
+    (0, True), (3, False), (3, True),
+])
+def test_beam_hub_and_closure_modes(tlg, hub_threshold, closure):
+    """Hub extraction and closure precompute must not change results."""
+    lang, fst = tlg
+    rng = np.random.default_rng(11)
+    ll = synth_loglikes(
+        rng, lang, ["a", "<blk>", "b", "<blk>", "b", "a"], t_per=2,
+        noise=1.0,
+    )
+    ref = FasterDecoder(
+        fst, FasterDecoderOptions(beam=1e9, max_active=10**9,
+                                  acoustic_scale=0.9)
+    )
+    _, ref_words, ref_cost = ref.decode(ll)
+
+    g = compile_graph(
+        fst, max_degree=8, hub_threshold=hub_threshold,
+        build_closure=closure,
+    )
+    if hub_threshold:
+        assert g.has_hubs, "test graph should have hub states"
+    if closure:
+        assert g.has_closure
+    decoder = make_beam_decoder(
+        g, BeamSearchConfig(beam=1e9, max_active=256, acoustic_scale=0.9)
+    )
+    out = decoder(
+        jnp.asarray(ll[None]), jnp.asarray([ll.shape[0]]), DeviceGraph.put(g)
+    )
+    (words, cost), = traceback(out, np.asarray([ll.shape[0]]), g.final_weight)
+    assert words == ref_words, (
+        [lang.words.sym(w) for w in words],
+        [lang.words.sym(w) for w in ref_words],
+    )
+    np.testing.assert_allclose(cost, ref_cost, rtol=1e-4, atol=1e-3)
