@@ -270,6 +270,49 @@ def read_rspecifier(rspec: str) -> Iterator[Tuple[str, np.ndarray]]:
         yield from read_ark(rspec)
 
 
+def write_compressed_matrix(f: BinaryIO, mat: np.ndarray) -> None:
+    """Write the reference's "CM" format-1 compressed matrix
+    (compressed-matrix.cc CompressColumn/ComputeColHeader semantics:
+    per-column uint16 percentiles at 0/25/75/100 and uint8 piecewise-linear
+    codes)."""
+    mat = np.ascontiguousarray(mat, dtype=np.float32)
+    rows, cols = mat.shape
+    min_v = float(mat.min()) if mat.size else 0.0
+    rng_v = float(mat.max() - min_v) if mat.size else 0.0
+    if rng_v == 0.0:
+        rng_v = 1.0
+
+    def f2u16(v):
+        return np.clip(
+            ((v - min_v) / rng_v) * 65535 + 0.499, 0, 65535
+        ).astype(np.uint16)
+
+    def u16tof(u):
+        return min_v + u.astype(np.float64) * (rng_v / 65535.0)
+
+    f.write(b"\x00BCM ")
+    f.write(struct.pack("<ffii", min_v, rng_v, rows, cols))
+    headers = np.zeros((cols, 4), dtype=np.uint16)
+    codes = np.zeros((cols, rows), dtype=np.uint8)
+    q = rows // 4
+    for c in range(cols):
+        col = np.sort(mat[:, c])
+        p0 = min(int(f2u16(col[0])), 65532)
+        p25 = min(max(int(f2u16(col[q])), p0 + 1), 65533)
+        p75 = min(max(int(f2u16(col[3 * q])), p25 + 1), 65534)
+        p100 = max(int(f2u16(col[-1])), p75 + 1)
+        headers[c] = (p0, p25, p75, p100)
+        fp = u16tof(np.asarray([p0, p25, p75, p100], np.uint16))
+        v = mat[:, c].astype(np.float64)
+        lo = 64.0 * (v - fp[0]) / max(fp[1] - fp[0], 1e-9)
+        mid = 64 + 128.0 * (v - fp[1]) / max(fp[2] - fp[1], 1e-9)
+        hi = 192 + 63.0 * (v - fp[2]) / max(fp[3] - fp[2], 1e-9)
+        code = np.where(v <= fp[1], lo, np.where(v <= fp[2], mid, hi))
+        codes[c] = np.clip(np.round(code), 0, 255).astype(np.uint8)
+    f.write(headers.tobytes())
+    f.write(codes.tobytes())
+
+
 def write_matrix(f: BinaryIO, mat: np.ndarray) -> None:
     """Binary float32 matrix, byte-compatible with MatrixBase::Write."""
     mat = np.ascontiguousarray(mat, dtype=np.float32)
@@ -297,8 +340,11 @@ def write_ark(
     path: str,
     items: Iterable[Tuple[str, np.ndarray]],
     scp_path: Optional[str] = None,
+    compress: bool = False,
 ) -> None:
-    """Write a binary archive (+ optional scp with offsets)."""
+    """Write a binary archive (+ optional scp with offsets).
+    compress=True stores float matrices in the lossy "CM" format
+    (the reference's --compress=true)."""
     scp_f = open(scp_path, "w") if scp_path else None
     with open(path, "wb") as f:
         for key, value in items:
@@ -307,6 +353,8 @@ def write_ark(
             value = np.asarray(value)
             if np.issubdtype(value.dtype, np.integer):
                 _write_int_vector(f, value)
+            elif value.ndim == 2 and compress:
+                write_compressed_matrix(f, value)
             elif value.ndim == 2:
                 write_matrix(f, value)
             else:

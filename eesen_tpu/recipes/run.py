@@ -194,7 +194,7 @@ class RecipeRun:
         lg = fnat.determinize_star(lg, "log")
         lg = fnat.minimize_encoded(lg)
         tlg = build_tlg(self.lang.t_fst, arcsort(lg, "ilabel"))
-        self.graph = compile_graph(tlg)
+        self.graph = compile_graph(tlg, build_closure=True)
         with open(path, "wb") as f:
             pickle.dump(self.graph, f)
         return self.graph

@@ -45,6 +45,7 @@ def cmd_compute_feats(args, kind: str) -> int:
     from eesen_tpu.frontend.mfcc import (
         MfccOptions, SpectrogramOptions, mfcc, spectrogram,
     )
+    from eesen_tpu.frontend.plp import PlpOptions, plp
     from eesen_tpu.io.wave import read_wav
 
     frame_opts = FrameOptions(
@@ -87,6 +88,15 @@ def cmd_compute_feats(args, kind: str) -> int:
                 )
                 feats = mfcc(jnp.asarray(wave), opts,
                              vtln_warp=args.vtln_warp)
+            elif kind == "plp":
+                feats = plp(
+                    jnp.asarray(wave),
+                    PlpOptions(
+                        frame_opts=frame_opts,
+                        mel_opts=MelOptions(num_bins=args.num_mel_bins),
+                    ),
+                    vtln_warp=args.vtln_warp,
+                )
             else:
                 feats = spectrogram(
                     jnp.asarray(wave), SpectrogramOptions(frame_opts=frame_opts)
@@ -322,7 +332,9 @@ def cmd_build_tlg(args) -> int:
     log.info("LG det+min: %d states %d arcs", lg.num_states, lg.num_arcs)
     tlg = build_tlg(lang.t_fst, lg)
     log.info("TLG: %d states %d arcs", tlg.num_states, tlg.num_arcs)
-    compiled = compile_graph(tlg, max_degree=args.max_degree)
+    compiled = compile_graph(
+        tlg, max_degree=args.max_degree, build_closure=True
+    )
     with open(args.out, "wb") as f:
         pickle.dump(compiled, f)
     log.info("wrote compiled graph %s", args.out)
@@ -567,7 +579,7 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="eesen-tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 
-    for kind in ("fbank", "mfcc", "spectrogram"):
+    for kind in ("fbank", "mfcc", "plp", "spectrogram"):
         p = sub.add_parser(f"compute-{kind}-feats")
         _add_frame_args(p)
         if kind == "mfcc":

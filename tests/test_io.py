@@ -147,3 +147,17 @@ def test_datadir_roundtrip(tmp_path):
     )
     with pytest.raises(ValueError):
         bad.validate()
+
+
+def test_compressed_matrix_write_roundtrip(tmp_path):
+    from eesen_tpu.io.kaldi_io import write_ark, read_ark
+
+    rng = np.random.default_rng(9)
+    m = rng.standard_normal((40, 13)).astype(np.float32) * 3
+    path = str(tmp_path / "cm_w.ark")
+    write_ark(path, [("u1", m)], compress=True)
+    (k, got), = list(read_ark(path))
+    assert k == "u1" and got.shape == m.shape
+    # 8-bit lossy: tolerance relative to the value range
+    span = float(m.max() - m.min())
+    assert np.max(np.abs(got - m)) < span / 40
