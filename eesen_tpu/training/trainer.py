@@ -287,8 +287,19 @@ class Trainer:
         self,
         train_batches_fn: Callable[[], Iterable[Dict[str, np.ndarray]]],
         cv_batches_fn: Callable[[], Iterable[Dict[str, np.ndarray]]],
+        resume: bool = True,
     ) -> Dict[str, float]:
-        """Run newbob epochs until convergence; returns final metrics."""
+        """Run newbob epochs until convergence; returns final metrics.
+
+        With a checkpoint_dir and resume=True, training continues from the
+        latest saved epoch (the reference resumed via .epoch/.cvacc/
+        .halving/.lrate dotfiles + nnet.iterN —
+        steps/train_ctc_parallel.sh:74-78)."""
+        if resume and self.cfg.checkpoint_dir:
+            latest = self.latest_checkpoint()
+            if latest is not None:
+                log.info("resuming from epoch %d checkpoint", latest)
+                self.restore_checkpoint(latest)
         history = {}
         while True:
             epoch = self.sched.epoch
@@ -306,14 +317,28 @@ class Trainer:
                 "train_obj": tr.obj_per_frame,
                 "cv_obj": cv.obj_per_frame,
             }
-            if self.cfg.checkpoint_dir:
-                self.save_checkpoint(epoch)
             stop, _ = self.sched.report(cv.token_accuracy)
+            if self.cfg.checkpoint_dir:
+                # saved after the schedule update, so a resume continues
+                # with the NEXT epoch (the reference's `.epoch` dotfile
+                # stores iter+1 the same way)
+                self.save_checkpoint(epoch)
             if stop:
                 break
         return history
 
     # ---- checkpointing (replaces nnet.iterN files + dotfiles) ----
+    def latest_checkpoint(self) -> Optional[int]:
+        d = self.cfg.checkpoint_dir
+        if not d or not os.path.isdir(d):
+            return None
+        epochs = [
+            int(name.split("_", 1)[1])
+            for name in os.listdir(d)
+            if name.startswith("epoch_") and name.split("_", 1)[1].isdigit()
+        ]
+        return max(epochs) if epochs else None
+
     def save_checkpoint(self, epoch: int) -> None:
         import orbax.checkpoint as ocp
 
