@@ -7,21 +7,24 @@ decodable-matrix.h:47-54 tid-1 acoustic column shift).  Redesigned for
 static shapes and data parallelism:
 
 - The active set is a fixed-size array of K slots per utterance
-  ([B, K] state ids + scores, dead slots = +inf), not a hash map.
-- Arc expansion is a dense [B, K, D] gather from degree-capped CSR tables
-  (see graph_compile.py), with arc fields PACKED into [E, 4] int32 rows so
-  each expansion costs ONE gather (TPU gathers are latency-bound per
-  index, not per byte).
-- High-fanout "hub" states (LM unigram/backoff targets) are expanded
-  DENSELY every frame — contiguous vector math over their arc tables, no
-  gather at all — with their source score reduced from the active set.
+  ([B, K] state ids + scores + the state's own arc-table offsets; dead
+  slots = +inf), not a hash map.
+- Arc expansion is ONE contiguous-block gather of packed [E, 8] int32 arc
+  rows (il, ol, weight_bits, dst, dst_emit_base, dst_emit_deg,
+  dst_closure_base, dst_closure_deg).  Because every arc row carries its
+  DESTINATION's offsets, the active set inherits its offsets from the
+  winning arc and the search performs no random offsets gather — random
+  gathers are the latency killer on TPU, contiguous-block gathers are
+  nearly free.
+- High-fanout "hub" states can be expanded densely every frame
+  (contiguous vector math over their arc tables, no gather).
 - Viterbi recombination (the hash-map min in the reference) is sort-based:
   two variadic `lax.sort` passes (by score, then stably by destination)
   make the best proposal per state the first of its run — no scatter
   (TPU scatter-with-min lowers catastrophically slowly on some platforms).
 - Epsilon closure runs either as ONE precomputed-transitive-closure
   expansion (graphs compiled with build_closure=True) or as eps-depth
-  iterations.
+  iterations over the eps table.
 - Backpointers are composed WITHIN each frame, so the scan emits one
   parent slot plus up to MAX_OLABELS_PER_FRAME output labels per slot per
   frame; the best path is recovered by a trivial host walk (traceback()).
@@ -59,30 +62,26 @@ class BeamSearchConfig:
     # epsilon iteration: duplicates temporarily waste beam slots but the
     # search stays exact as long as max_active has headroom
     light_eps_dedup: bool = False
+    # top-k-only pruning after the EMITTING phase (full recombination
+    # still runs after the closure phase): a max_active-style
+    # approximation that removes one sort-heavy dedup per frame
+    light_emit_dedup: bool = False
 
 
 class DeviceGraph(NamedTuple):
     """CompiledGraph arrays as device arrays (jit operands)."""
-    emit_off2: Array      # [N, 2] int32 (base, degree)
-    emit_packed: Array    # [Ee, 4] int32 (il, ol, w_bits, dst)
-    eps_off2: Array       # [N, 2]
-    eps_packed: Array     # [En, 4]
-    closure_off2: Array   # [N, 2] (zero rows when absent)
-    closure_packed: Array  # [Ec, 4]
+    emit_packed: Array    # [Ee, 8] int32
+    x_packed: Array       # [Ex, 8] int32 — closure table if built, else eps
     hub_src: Array        # [H] int32 (may be empty)
     hub_of_arc: Array     # [Eh] int32 (hub index per hub arc)
-    hub_packed: Array     # [Eh, 4] int32
+    hub_packed: Array     # [Eh, 8] int32
     final_weight: Array   # [N] float32
 
     @classmethod
     def put(cls, g: CompiledGraph) -> "DeviceGraph":
-        e_off, n_off = g.offsets_packed()
-        if g.has_closure:
-            c_off = g.closure_off2()
-            c_packed = g.closure_packed
-        else:
-            c_off = np.zeros((0, 2), np.int32)
-            c_packed = np.zeros((0, 4), np.int32)
+        x_packed = (
+            g.closure_packed8() if g.has_closure else g.eps_packed()
+        )
         hub_src = (
             g.hub_src if g.hub_src is not None else np.zeros(0, np.int32)
         )
@@ -91,14 +90,12 @@ class DeviceGraph(NamedTuple):
                 np.arange(len(hub_src), dtype=np.int32),
                 np.diff(g.hub_offsets),
             )
-            hub_packed = g.hub_packed
+            hub_packed = g.hub_packed8()
         else:
             hub_of_arc = np.zeros(0, np.int32)
-            hub_packed = np.zeros((0, 4), np.int32)
+            hub_packed = np.zeros((0, 8), np.int32)
         return cls(
-            jnp.asarray(e_off), jnp.asarray(g.emit_packed()),
-            jnp.asarray(n_off), jnp.asarray(g.eps_packed()),
-            jnp.asarray(c_off), jnp.asarray(c_packed),
+            jnp.asarray(g.emit_packed()), jnp.asarray(x_packed),
             jnp.asarray(hub_src), jnp.asarray(hub_of_arc),
             jnp.asarray(hub_packed),
             jnp.asarray(g.final_weight),
@@ -115,35 +112,36 @@ class BeamOutputs(NamedTuple):
 
 
 def _expand(
-    states: Array, scores: Array,
-    off2: Array, packed: Array, degree_cap: int,
-) -> Tuple[Array, Array, Array, Array]:
-    """[B,K] actives -> [B,K*D] (dst, score w/o acoustic, ilabel,
-    olabel) via ONE offsets gather + ONE packed-row gather."""
-    b, k = states.shape
+    offs: Array, scores: Array, packed: Array, degree_cap: int,
+    which: int,
+) -> Tuple[Array, Array, Array, Array, Array]:
+    """offs [B,K,4] + scores [B,K] -> [B,K*D] (dst, score w/o acoustic,
+    ilabel, olabel, dst_offs [B,K*D,4]) via ONE block gather.
+    which: 0 = emit table offsets (fields 0,1), 1 = closure/eps (2,3)."""
+    b, k, _ = offs.shape
     m = k * degree_cap
-    safe_states = jnp.maximum(states, 0)
-    od = off2[safe_states]                            # [B,K,2]
-    base, deg = od[..., 0], od[..., 1]
+    base = offs[..., 2 * which]
+    deg = offs[..., 2 * which + 1]
     j = jnp.arange(degree_cap, dtype=jnp.int32)
     aid = base[..., None] + j                         # [B,K,D]
-    valid = (j < deg[..., None]) & (states >= 0)[..., None] \
-        & jnp.isfinite(scores)[..., None]
+    valid = (j < deg[..., None]) & jnp.isfinite(scores)[..., None]
     n_arcs = packed.shape[0]
     if n_arcs == 0:
         score = jnp.full((b, m), jnp.inf, jnp.float32)
         z = jnp.zeros((b, m), jnp.int32)
-        return z, score, z, z
+        return z, score, z, z, jnp.zeros((b, m, 4), jnp.int32)
     aid_safe = jnp.clip(aid, 0, n_arcs - 1)
-    rows = packed[aid_safe]                           # [B,K,D,4]
+    rows = packed[aid_safe]                           # [B,K,D,8]
     il = jnp.where(valid, rows[..., 0], 0)
     ol = jnp.where(valid, rows[..., 1], 0)
     w = jax.lax.bitcast_convert_type(rows[..., 2], jnp.float32)
     dst = jnp.where(valid, rows[..., 3], 0)
     score = jnp.where(valid, scores[..., None] + w, INF)
+    d_offs = jnp.where(valid[..., None], rows[..., 4:8], 0)
     return (
         dst.reshape(b, m), score.reshape(b, m),
         il.reshape(b, m), ol.reshape(b, m),
+        d_offs.reshape(b, m, 4),
     )
 
 
@@ -181,6 +179,17 @@ def _dedup_and_prune(
     return new_states, new_scores, kept
 
 
+def _topk_prune(dst: Array, score: Array, k: int) -> Tuple[Array, Array, Array]:
+    """Pruning without recombination (duplicates allowed)."""
+    tn, ti = jax.lax.top_k(-score, k)
+    new_scores = -tn
+    new_states = jnp.where(
+        jnp.isfinite(new_scores),
+        jnp.take_along_axis(dst, ti, axis=1), -1,
+    )
+    return new_states, new_scores, ti
+
+
 def _append_olabel(olab: Array, new: Array, overflow: Array):
     """olab [B,M,L] existing labels, new [B,M] label (0=none) -> appended.
     Counts overflows (more than L labels in one frame)."""
@@ -205,29 +214,36 @@ def make_beam_decoder(
     -> BeamOutputs."""
     k = cfg.max_active
     d_e = max(graph.max_emit_degree, 1)
-    d_n = max(graph.max_eps_degree, 1)
     use_closure = graph.has_closure
-    d_c = max(graph.max_closure_degree, 1)
+    d_x = max(
+        graph.max_closure_degree if use_closure else graph.max_eps_degree,
+        1,
+    )
     has_hubs = graph.has_hubs
-    eps_iters = cfg.eps_iters or max(graph.eps_depth, 1)
+    eps_iters = 1 if use_closure else (
+        cfg.eps_iters or max(graph.eps_depth, 1)
+    )
     beam = cfg.beam
     scale = cfg.acoustic_scale
     start_state = graph.start
+    start_offs = tuple(int(x) for x in graph.state_offs(graph.start))
     approx = cfg.approx_top_k
     light = cfg.light_eps_dedup
+    light_emit = cfg.light_emit_dedup
     L = MAX_OLABELS_PER_FRAME
 
-    def _closure_step(states, scores, parent, olab, overflow, off2,
-                      packed, dcap, do_full_dedup=True):
+    def _x_step(carry_in, do_full_dedup):
         """One eps/closure expansion merged with the carried set."""
-        dst, pscore, _, exp_ol = _expand(
-            states, scores, off2, packed, dcap
+        states, scores, offs, parent, olab, overflow = carry_in
+        dst, pscore, _, exp_ol, d_offs = _expand(
+            offs, scores, dg_holder[0].x_packed, d_x, which=1
         )
         exp_ol = jnp.where(jnp.isfinite(pscore), exp_ol, 0)
+        b = states.shape[0]
         src_slot = jnp.repeat(
-            jnp.arange(k, dtype=jnp.int32)[None, :], states.shape[0], 0
+            jnp.arange(k, dtype=jnp.int32)[None, :], b, 0
         )
-        src_of_prop = jnp.repeat(src_slot, dcap, axis=1)
+        src_of_prop = jnp.repeat(src_slot, d_x, axis=1)
         exp_parent = jnp.take_along_axis(parent, src_of_prop, axis=1)
         exp_olab = jnp.take_along_axis(
             olab, src_of_prop[..., None], axis=1
@@ -237,77 +253,75 @@ def make_beam_decoder(
         all_score = jnp.concatenate([scores, pscore], axis=1)
         all_parent = jnp.concatenate([parent, exp_parent], axis=1)
         all_olab = jnp.concatenate([olab, exp_olab], axis=1)
+        all_offs = jnp.concatenate([offs, d_offs], axis=1)
         if do_full_dedup:
             new_states, new_scores, top_idx = _dedup_and_prune(
                 all_dst, all_score, k, beam, approx
             )
         else:
-            tn, ti = jax.lax.top_k(-all_score, k)
-            new_scores = -tn
-            new_states = jnp.where(
-                jnp.isfinite(new_scores),
-                jnp.take_along_axis(all_dst, ti, axis=1), -1,
+            new_states, new_scores, top_idx = _topk_prune(
+                all_dst, all_score, k
             )
-            top_idx = ti
         new_parent = jnp.take_along_axis(all_parent, top_idx, axis=1)
         new_olab = jnp.take_along_axis(
             all_olab, top_idx[..., None], axis=1
         )
-        return new_states, new_scores, new_parent, new_olab, overflow
+        new_offs = jnp.take_along_axis(
+            all_offs, top_idx[..., None], axis=1
+        )
+        return (
+            new_states, new_scores, new_offs, new_parent, new_olab, overflow
+        )
 
-    def eps_phase(dg, states, scores, parent, olab, overflow):
+    # dg is threaded through a mutable holder so the helper closures can
+    # reference the traced DeviceGraph without replumbing every signature
+    dg_holder = [None]
+
+    def eps_phase(states, scores, offs, parent, olab, overflow):
         if use_closure:
-            return _closure_step(
-                states, scores, parent, olab, overflow,
-                dg.closure_off2, dg.closure_packed, d_c,
+            return _x_step(
+                (states, scores, offs, parent, olab, overflow), True
             )
 
         def one_iter(carry, is_last):
-            states, scores, parent, olab, overflow = carry
             if light:
-                def full(args):
-                    return _closure_step(
-                        *args, dg.eps_off2, dg.eps_packed, d_n, True
-                    )
-
-                def lite(args):
-                    return _closure_step(
-                        *args, dg.eps_off2, dg.eps_packed, d_n, False
-                    )
-
                 out = jax.lax.cond(
-                    is_last, full, lite,
-                    (states, scores, parent, olab, overflow),
+                    is_last,
+                    lambda c: _x_step(c, True),
+                    lambda c: _x_step(c, False),
+                    carry,
                 )
             else:
-                out = _closure_step(
-                    states, scores, parent, olab, overflow,
-                    dg.eps_off2, dg.eps_packed, d_n, True,
-                )
+                out = _x_step(carry, True)
             return out, None
 
         last_flags = jnp.arange(eps_iters) == (eps_iters - 1)
-        (states, scores, parent, olab, overflow), _ = jax.lax.scan(
-            one_iter, (states, scores, parent, olab, overflow), last_flags
+        carry, _ = jax.lax.scan(
+            one_iter, (states, scores, offs, parent, olab, overflow),
+            last_flags,
         )
-        return states, scores, parent, olab, overflow
+        return carry
 
     def decode(loglikes: Array, lengths: Array, dg: DeviceGraph) -> BeamOutputs:
+        dg_holder[0] = dg
         b, t_max, v = loglikes.shape
         states0 = jnp.full((b, k), -1, jnp.int32).at[:, 0].set(start_state)
         scores0 = jnp.full((b, k), jnp.inf, jnp.float32).at[:, 0].set(0.0)
+        offs0 = jnp.zeros((b, k, 4), jnp.int32).at[:, 0, :].set(
+            jnp.asarray(start_offs, jnp.int32)
+        )
         parent0 = jnp.repeat(jnp.arange(k, dtype=jnp.int32)[None], b, 0)
         olab0 = jnp.zeros((b, k, L), jnp.int32)
         overflow0 = jnp.zeros((b,), jnp.int32)
-        states0, scores0, _, init_olab, overflow0 = eps_phase(
-            dg, states0, scores0, parent0, olab0, overflow0
+        states0, scores0, offs0, _, init_olab, overflow0 = eps_phase(
+            states0, scores0, offs0, parent0, olab0, overflow0
         )
 
         def frame(carry, inp):
-            states, scores, overflow = carry
+            states, scores, offs, overflow = carry
             ll_t, t = inp          # [B, V], scalar
-            dst, pscore, il, ol = _expand(
-                states, scores, dg.emit_off2, dg.emit_packed, d_e,
+            dst, pscore, il, ol, d_offs = _expand(
+                offs, scores, dg.emit_packed, d_e, which=0
             )
             col = jnp.clip(il - 1, 0, v - 1)            # tid-1 shift
             ac = -scale * jnp.take_along_axis(ll_t, col, axis=1)
@@ -346,33 +360,42 @@ def make_beam_decoder(
                     [ol, jnp.broadcast_to(ol_h[None], (b, eh))], axis=1
                 )
                 parent_e = jnp.concatenate([parent_e, par_h], axis=1)
+                d_offs = jnp.concatenate(
+                    [d_offs,
+                     jnp.broadcast_to(hp[None, :, 4:8], (b, eh, 4))],
+                    axis=1,
+                )
 
-            e_states, e_scores, e_idx = _dedup_and_prune(
-                dst, pscore, k, beam, approx
-            )
+            if light_emit:
+                e_states, e_scores, e_idx = _topk_prune(dst, pscore, k)
+            else:
+                e_states, e_scores, e_idx = _dedup_and_prune(
+                    dst, pscore, k, beam, approx
+                )
             parent = jnp.take_along_axis(parent_e, e_idx, axis=1)
+            e_offs = jnp.take_along_axis(d_offs, e_idx[..., None], axis=1)
             olab0_f = jnp.zeros((b, k, L), jnp.int32)
             emit_ol = jnp.where(
                 jnp.isfinite(e_scores),
                 jnp.take_along_axis(ol, e_idx, axis=1), 0,
             )
             olab, overflow = _append_olabel(olab0_f, emit_ol, overflow)
-            n_states_, n_scores, parent, olab, overflow = eps_phase(
-                dg, e_states, e_scores, parent, olab, overflow
-            )
+            (n_states_, n_scores, n_offs, parent, olab, overflow
+             ) = eps_phase(e_states, e_scores, e_offs, parent, olab, overflow)
             active = (t < lengths)[:, None]
             out_states = jnp.where(active, n_states_, states)
             out_scores = jnp.where(active, n_scores, scores)
+            out_offs = jnp.where(active[..., None], n_offs, offs)
             ident = jnp.repeat(jnp.arange(k, dtype=jnp.int32)[None], b, 0)
             out_parent = jnp.where(active, parent, ident)
             out_olab = jnp.where(active[..., None], olab, 0)
-            return (out_states, out_scores, overflow), (
+            return (out_states, out_scores, out_offs, overflow), (
                 out_states, out_scores, out_parent, out_olab,
             )
 
         ts = jnp.arange(t_max, dtype=jnp.int32)
-        (_, _, overflow), (st, sc, par, ol) = jax.lax.scan(
-            frame, (states0, scores0, overflow0),
+        (_, _, _, overflow), (st, sc, par, ol) = jax.lax.scan(
+            frame, (states0, scores0, offs0, overflow0),
             (jnp.moveaxis(loglikes, 1, 0), ts),
         )
         return BeamOutputs(st, sc, par, ol, init_olab, overflow)

@@ -83,33 +83,79 @@ class CompiledGraph:
         return len(self.eps_dst)
 
     # ---- packed views (built lazily, cached) ----
-    # One gather of an [E, 4] int32 row costs the same as one [E] gather on
-    # TPU (gathers are latency-bound per index, not per byte), so the
-    # search gathers packed rows instead of 3-4 separate field arrays.
+    # One gather of an [E, 8] int32 row costs the same as one [E] gather on
+    # TPU (gathers are latency-bound per index, not per byte).  Rows carry
+    # (ilabel, olabel, weight_bits, dst) PLUS the destination state's
+    # (emit_base, emit_deg, second_base, second_deg) — "second" = the
+    # closure table when built, else the eps table — so the active set
+    # carries its own offsets and the search does no random offsets
+    # gather at all.
+    def _dst_offs(self, dst: np.ndarray) -> np.ndarray:
+        e_base = self.emit_offsets[:-1][dst]
+        e_deg = (self.emit_offsets[1:] - self.emit_offsets[:-1])[dst]
+        if self.has_closure:
+            off = self.closure_offsets
+        else:
+            off = self.eps_offsets
+        x_base = off[:-1][dst]
+        x_deg = (off[1:] - off[:-1])[dst]
+        return np.stack([e_base, e_deg, x_base, x_deg], axis=1).astype(
+            np.int32
+        )
+
+    def state_offs(self, state: int) -> np.ndarray:
+        """[4] int32 (e_base, e_deg, x_base, x_deg) for one state."""
+        return self._dst_offs(np.asarray([state]))[0]
+
+    def _pack8(self, il, ol, w, dst) -> np.ndarray:
+        head = np.stack(
+            [il, ol, w.view(np.int32), dst], axis=1
+        ).astype(np.int32)
+        if len(dst) == 0:
+            return np.zeros((0, 8), np.int32)
+        return np.concatenate([head, self._dst_offs(dst)], axis=1)
+
     def emit_packed(self) -> np.ndarray:
-        """[Ee, 4] int32: (ilabel, olabel, weight_bits, dst)."""
+        """[Ee, 8] int32 rows (see class comment)."""
         if not hasattr(self, "_emit_packed"):
-            self._emit_packed = np.stack(
-                [
-                    self.emit_ilabel,
-                    self.emit_olabel,
-                    self.emit_weight.view(np.int32),
-                    self.emit_dst,
-                ],
-                axis=1,
-            ).astype(np.int32)
+            self._emit_packed = self._pack8(
+                self.emit_ilabel, self.emit_olabel, self.emit_weight,
+                self.emit_dst,
+            )
         return self._emit_packed
 
     def eps_packed(self) -> np.ndarray:
-        """[En, 4] int32: (0, olabel, weight_bits, dst)."""
+        """[En, 8] int32 rows."""
         if not hasattr(self, "_eps_packed"):
             z = np.zeros_like(self.eps_dst)
-            self._eps_packed = np.stack(
-                [z, self.eps_olabel, self.eps_weight.view(np.int32),
-                 self.eps_dst],
-                axis=1,
-            ).astype(np.int32)
+            self._eps_packed = self._pack8(
+                z, self.eps_olabel, self.eps_weight, self.eps_dst
+            )
         return self._eps_packed
+
+    def closure_packed8(self) -> np.ndarray:
+        if not hasattr(self, "_closure_packed8"):
+            cp = self.closure_packed
+            if cp is None or len(cp) == 0:
+                self._closure_packed8 = np.zeros((0, 8), np.int32)
+            else:
+                self._closure_packed8 = self._pack8(
+                    cp[:, 0], cp[:, 1], cp[:, 2].view(np.float32).copy(),
+                    cp[:, 3],
+                )
+        return self._closure_packed8
+
+    def hub_packed8(self) -> np.ndarray:
+        if not hasattr(self, "_hub_packed8"):
+            hp = self.hub_packed
+            if hp is None or len(hp) == 0:
+                self._hub_packed8 = np.zeros((0, 8), np.int32)
+            else:
+                self._hub_packed8 = self._pack8(
+                    hp[:, 0], hp[:, 1], hp[:, 2].view(np.float32).copy(),
+                    hp[:, 3],
+                )
+        return self._hub_packed8
 
     def offsets_packed(self) -> Tuple[np.ndarray, np.ndarray]:
         """([N, 2] int32 (emit base, emit degree),

@@ -9,7 +9,7 @@ steps/make_fbank.sh).  `DataDir` reads and validates them.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 from eesen_tpu.utils.logging import get_logger
 
@@ -111,6 +111,36 @@ class DataDir:
         self.spk2utt = {}
         for u, s in self.utt2spk.items():
             self.spk2utt.setdefault(s, []).append(u)
+
+    def split_tr_cv(
+        self, cv_fraction: float = 0.05, seed: int = 777
+    ) -> Tuple[List[str], List[str]]:
+        """Speaker-disjoint train/CV utterance split (reference:
+        utils/subset_data_dir_tr_cv.sh — the recipes' train_tr95/
+        train_cv05 convention).  Returns (train_utts, cv_utts)."""
+        import random as _random
+
+        rng = _random.Random(seed)
+        speakers = sorted(self.spk2utt) if self.spk2utt else []
+        if speakers:
+            shuffled = speakers[:]
+            rng.shuffle(shuffled)
+            n_cv = max(int(round(len(shuffled) * cv_fraction)), 1)
+            cv_spk = set(shuffled[:n_cv])
+            tr, cv = [], []
+            for spk, utts in self.spk2utt.items():
+                (cv if spk in cv_spk else tr).extend(utts)
+            return sorted(tr), sorted(cv)
+        utts = self.utt_ids[:]
+        rng.shuffle(utts)
+        n_cv = max(int(round(len(utts) * cv_fraction)), 1)
+        return sorted(utts[n_cv:]), sorted(utts[:n_cv])
+
+    def split_shards(self, n: int) -> List[List[str]]:
+        """Shard utterances round-robin into n pieces (reference:
+        utils/split_data.sh for parallel feature/decode jobs)."""
+        utts = self.utt_ids
+        return [utts[i::n] for i in range(n)]
 
     @staticmethod
     def write(path: str, **tables) -> "DataDir":

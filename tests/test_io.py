@@ -161,3 +161,21 @@ def test_compressed_matrix_write_roundtrip(tmp_path):
     # 8-bit lossy: tolerance relative to the value range
     span = float(m.max() - m.min())
     assert np.max(np.abs(got - m)) < span / 40
+
+
+def test_datadir_splits(tmp_path):
+    wav = {f"u{i}": f"/x/u{i}.wav" for i in range(20)}
+    text = {k: ["HI"] for k in wav}
+    utt2spk = {f"u{i}": f"spk{i % 5}" for i in range(20)}
+    d = DataDir.write(
+        str(tmp_path / "d"), wav_scp=wav, text=text, utt2spk=utt2spk
+    )
+    tr, cv = d.split_tr_cv(cv_fraction=0.2)
+    assert sorted(tr + cv) == d.utt_ids
+    # speaker-disjoint
+    tr_spk = {utt2spk[u] for u in tr}
+    cv_spk = {utt2spk[u] for u in cv}
+    assert not (tr_spk & cv_spk)
+    shards = d.split_shards(3)
+    assert sorted(sum(shards, [])) == d.utt_ids
+    assert abs(len(shards[0]) - len(shards[2])) <= 1
