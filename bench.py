@@ -55,12 +55,12 @@ def main():
     lr = jnp.float32(4e-5)
 
     # warmup / compile
-    for _ in range(3):
+    for _ in range(2):
         key, sk = jax.random.split(key)
         state, metrics = step(state, batch, sk, lr)
     float(metrics["loss"])  # hard barrier (device round-trip)
 
-    n_steps = 20
+    n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         key, sk = jax.random.split(key)

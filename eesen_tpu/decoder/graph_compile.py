@@ -297,23 +297,20 @@ def compile_graph(
             (eps_rows if a.ilabel == EPS else emit_rows)[s].append(a)
 
     def build_csr(rows, with_ilabel):
+        counts = np.fromiter(
+            (len(r) for r in rows), dtype=np.int64, count=n
+        )
         offsets = np.zeros(n + 1, dtype=np.int32)
-        for s in range(n):
-            offsets[s + 1] = offsets[s] + len(rows[s])
-        e = int(offsets[-1])
-        il = np.zeros(e, dtype=np.int32) if with_ilabel else None
-        ol = np.zeros(e, dtype=np.int32)
-        w = np.zeros(e, dtype=np.float32)
-        d = np.zeros(e, dtype=np.int32)
-        k = 0
-        for s in range(n):
-            for a in rows[s]:
-                if with_ilabel:
-                    il[k] = a.ilabel
-                ol[k] = a.olabel
-                w[k] = a.weight
-                d[k] = a.nextstate
-                k += 1
+        offsets[1:] = np.cumsum(counts).astype(np.int32)
+        flat = [a for r in rows for a in r]
+        e = len(flat)
+        il = (
+            np.fromiter((a.ilabel for a in flat), np.int32, count=e)
+            if with_ilabel else None
+        )
+        ol = np.fromiter((a.olabel for a in flat), np.int32, count=e)
+        w = np.fromiter((a.weight for a in flat), np.float32, count=e)
+        d = np.fromiter((a.nextstate for a in flat), np.int32, count=e)
         return offsets, il, ol, w, d
 
     eo, eil, eol, ew, ed = build_csr(emit_rows, True)
