@@ -55,6 +55,17 @@ class BeamSearchConfig:
     max_active: int = 4096          # K slots
     acoustic_scale: float = 0.9     # steps/decode_ctc_lat.sh default
     eps_iters: int = 0              # 0: use graph.eps_depth
+    # in-search lattice-beam token retention: tokens worse than the frame
+    # best + lattice_beam are masked OUT of the emitted lattice outputs
+    # (BeamOutputs.lat_mask) while the search itself still carries them
+    # (reference: lattice-faster-decoder.h:50 lattice_beam; the exact
+    # forward+backward PruneActiveTokens analogue runs host-side in
+    # Lattice.prune).  0 disables masking.
+    lattice_beam: float = 0.0
+    # words emitted by one frame's arc+eps chain; overflow beyond this is
+    # counted in BeamOutputs.overflow — callers should re-decode with a
+    # larger value if it ever trips (recipes do)
+    max_olabels: int = MAX_OLABELS_PER_FRAME
     # approximate top-k (jax.lax.approx_max_k): much cheaper on TPU for
     # large K; pruning becomes slightly approximate (recall ~0.95)
     approx_top_k: bool = False
@@ -106,9 +117,11 @@ class BeamOutputs(NamedTuple):
     states: Array       # [T, B, K] int32 active states (post eps-closure)
     scores: Array       # [T, B, K] float32
     parent: Array       # [T, B, K] int32 slot in frame t-1 (t=0: init set)
-    olabels: Array      # [T, B, K, MAX_OLABELS] int32 (0 = none)
-    init_olabels: Array  # [B, K, MAX_OLABELS] from the initial closure
+    olabels: Array      # [T, B, K, max_olabels] int32 (0 = none)
+    init_olabels: Array  # [B, K, max_olabels] from the initial closure
     overflow: Array     # [B] int32 count of dropped olabels (should be 0)
+    lat_mask: Array     # [T, B, K] bool: token within lattice_beam of the
+    #                     frame best (all-finite if lattice_beam == 0)
 
 
 def _expand(
@@ -230,7 +243,8 @@ def make_beam_decoder(
     approx = cfg.approx_top_k
     light = cfg.light_eps_dedup
     light_emit = cfg.light_emit_dedup
-    L = MAX_OLABELS_PER_FRAME
+    L = max(cfg.max_olabels, 1)
+    lat_beam = cfg.lattice_beam
 
     def _x_step(carry_in, do_full_dedup):
         """One eps/closure expansion merged with the carried set."""
@@ -389,16 +403,22 @@ def make_beam_decoder(
             ident = jnp.repeat(jnp.arange(k, dtype=jnp.int32)[None], b, 0)
             out_parent = jnp.where(active, parent, ident)
             out_olab = jnp.where(active[..., None], olab, 0)
+            finite = jnp.isfinite(out_scores)
+            if lat_beam > 0.0:
+                fbest = jnp.min(out_scores, axis=1, keepdims=True)
+                mask = finite & (out_scores <= fbest + lat_beam)
+            else:
+                mask = finite
             return (out_states, out_scores, out_offs, overflow), (
-                out_states, out_scores, out_parent, out_olab,
+                out_states, out_scores, out_parent, out_olab, mask,
             )
 
         ts = jnp.arange(t_max, dtype=jnp.int32)
-        (_, _, _, overflow), (st, sc, par, ol) = jax.lax.scan(
+        (_, _, _, overflow), (st, sc, par, ol, lm) = jax.lax.scan(
             frame, (states0, scores0, offs0, overflow0),
             (jnp.moveaxis(loglikes, 1, 0), ts),
         )
-        return BeamOutputs(st, sc, par, ol, init_olab, overflow)
+        return BeamOutputs(st, sc, par, ol, init_olab, overflow, lm)
 
     return jax.jit(decode)
 

@@ -274,24 +274,33 @@ def lattice_from_beam(
     loglikes: np.ndarray,
     acoustic_scale: float,
     keep_tokens: int = 0,
+    use_lat_mask: bool = True,
 ) -> Lattice:
     """Reconstruct the word lattice for one utterance from per-frame beam
     survivors by re-expanding graph arcs between them host-side.
 
     The resulting lattice contains every (token_t -> token_{t+1}) emitting
-    arc plus intra-frame epsilon chains collapsed to direct links (eps
-    closure is re-run between surviving tokens using the graph's eps arcs).
-    keep_tokens (0 = all K) truncates to the best few tokens per frame for
-    smaller lattices (lattice-beam-style pruning can follow).
+    arc plus intra-frame epsilon chains (eps closure is re-run between
+    surviving tokens using the graph's eps arcs; closures that emit more
+    than one word become chains of intermediate lattice states, one word
+    per arc — full olabel fidelity).  Acoustic costs are stored SCALED by
+    acoustic_scale, matching the in-search costs (the reference's
+    GetRawLattice); unscale with lat.scale(1/acwt) before archiving, as
+    decoder-wrappers.cc:100-107 does.
+
+    Token retention: tokens masked out by the in-search lattice beam
+    (BeamOutputs.lat_mask, see BeamSearchConfig.lattice_beam) are skipped
+    when use_lat_mask; keep_tokens (0 = all K) additionally truncates to
+    the best few tokens per frame.  The exact forward+backward prune
+    (PruneActiveTokens analogue) is Lattice.prune.
     """
     st = np.asarray(outputs.states)[:, utt]      # [T, K]
     sc = np.asarray(outputs.scores)[:, utt]
+    lmask = np.asarray(outputs.lat_mask)[:, utt]
     t_max, k = st.shape
     length = min(length, t_max)
     kk = keep_tokens or k
 
-    # per-frame surviving tokens (sorted by score, best first)
-    frame_tokens: List[Dict[int, int]] = []  # state -> lattice state id
     lat = Lattice()
     # initial state (frame -1)
     init_id = lat.add_state(-1)
@@ -305,6 +314,8 @@ def lattice_from_beam(
             s = int(st[t, j])
             if s < 0 or not np.isfinite(sc[t, j]):
                 continue
+            if use_lat_mask and not lmask[t, j]:
+                continue
             if s not in d:
                 d[s] = lat.add_state(t)
         ids.append(d)
@@ -314,26 +325,27 @@ def lattice_from_beam(
         graph.eps_offsets, graph.eps_weight, graph.eps_dst, graph.eps_olabel,
     )
 
-    _reach_cache: Dict[int, List[Tuple[int, float, int]]] = {}
+    _reach_cache: Dict[int, List[Tuple[int, float, Tuple[int, ...]]]] = {}
 
-    def eps_reach(src_state: int) -> List[Tuple[int, float, int]]:
-        """(reachable_state, eps_cost, first_olabel) via eps arcs (depth
-        bounded).  olabel chains >1 collapse to the first nonzero (word
-        sequences inside one hop are rare; full fidelity via beam.py's
-        traceback).  Cached per graph state — the same states recur every
-        frame, so this turns the reconstruction from O(T*K*closure) into
-        O(touched-states*closure)."""
+    def eps_reach(src_state: int) -> List[Tuple[int, float, Tuple[int, ...]]]:
+        """(reachable_state, eps_cost, olabel_sequence) via eps arcs
+        (depth bounded).  The full word sequence along the closure path
+        is kept (multi-word chains become chained lattice arcs below).
+        Cached per graph state — the same states recur every frame, so
+        the reconstruction is O(touched-states*closure), not
+        O(T*K*closure)."""
         hit = _reach_cache.get(src_state)
         if hit is not None:
             return hit
-        out = [(src_state, 0.0, 0)]
-        frontier = [(src_state, 0.0, 0)]
+        out = [(src_state, 0.0, ())]
+        frontier = [(src_state, 0.0, ())]
         for _ in range(graph.eps_depth):
             nxt = []
-            for s, c, ol in frontier:
+            for s, c, ols in frontier:
                 for e in range(int(eo[s]), int(eo[s + 1])):
-                    o2 = ol if ol else int(eol[e])
-                    nxt.append((int(ed[e]), c + float(ew[e]), o2))
+                    o = int(eol[e])
+                    nols = ols + ((o,) if o else ())
+                    nxt.append((int(ed[e]), c + float(ew[e]), nols))
             out.extend(nxt)
             frontier = nxt
             if not frontier:
@@ -347,7 +359,34 @@ def lattice_from_beam(
         graph.emit_ilabel, graph.emit_olabel,
     )
 
-    def expand_from(lat_src: int, g_state: int, base_cost: float, t: int):
+    def add_chain(
+        lat_src: int, il: int, ols: Tuple[int, ...],
+        gc: float, ac: float, dst_lat: int, frame: int,
+    ) -> None:
+        """One lattice arc per word: >1 word in an arc's eps closure
+        becomes a chain of intermediate states (the reference's raw
+        lattices carry them as separate ForwardLinks too).  Intermediate
+        states take the SOURCE frame so the stable frame-sort used by
+        best_path/prune stays topological."""
+        first_ol = ols[0] if ols else 0
+        rest = ols[1:] if ols else ()
+        if not rest:
+            lat.arcs[lat_src].append(
+                LatticeArc(il, first_ol, gc, ac, dst_lat)
+            )
+            return
+        cur = lat.add_state(frame)
+        lat.arcs[lat_src].append(LatticeArc(il, first_ol, gc, ac, cur))
+        for i, o in enumerate(rest):
+            last = i == len(rest) - 1
+            nxt = dst_lat if last else lat.add_state(frame)
+            lat.arcs[cur].append(LatticeArc(0, o, 0.0, 0.0, nxt))
+            cur = nxt
+
+    def expand_from(
+        lat_src: int, g_state: int, base_cost: float, t: int,
+        prefix_ols: Tuple[int, ...] = (),
+    ):
         """All emitting arcs (+eps closure) from g_state into frame t's
         survivors."""
         for e in range(int(o_em[g_state]), int(o_em[g_state + 1])):
@@ -355,16 +394,18 @@ def lattice_from_beam(
             ac = -acoustic_scale * float(loglikes[t, il - 1])
             gc = float(w_em[e]) + base_cost
             mid = int(d_em[e])
-            for (rs, ec, eol_first) in eps_reach(mid):
+            arc_ol = int(ol_em[e])
+            for (rs, ec, eols) in eps_reach(mid):
                 if rs in ids[t]:
-                    ol = int(ol_em[e]) or eol_first
-                    lat.arcs[lat_src].append(
-                        LatticeArc(il, ol, gc + ec, ac, ids[t][rs])
+                    ols = prefix_ols + ((arc_ol,) if arc_ol else ()) + eols
+                    add_chain(
+                        lat_src, il, ols, gc + ec, ac, ids[t][rs],
+                        t - 1 if t > 0 else -1,
                     )
 
-    # frame 0: from the start state's closure
-    for (rs, ec, _)  in eps_reach(graph.start):
-        expand_from(init_id, rs, ec, 0)
+    # frame 0: from the start state's closure (closure words included)
+    for (rs, ec, eols) in eps_reach(graph.start):
+        expand_from(init_id, rs, ec, 0, prefix_ols=eols)
     # frames t-1 -> t
     for t in range(1, length):
         for s, lid in ids[t - 1].items():

@@ -91,71 +91,370 @@ def _assign_frames(lat: Lattice) -> None:
     lat.state_frame = depth
 
 
-def determinize_lattice(lat: Lattice, acoustic_scale: float = 1.0) -> Lattice:
-    """Word-level lattice determinization.
+def determinize_lattice(
+    lat: Lattice,
+    acoustic_scale: float = 1.0,
+    lattice_beam: float = 10.0,
+) -> Lattice:
+    """Word-level lattice determinization in the PAIR semiring.
 
-    The analogue of the reference's DeterminizeLatticePruned wrapper after
-    decoding (src/lat/determinize-lattice-pruned.{h,cc} via
-    decoder-wrappers.cc:87-99): merge all paths with the same word sequence
-    keeping the best, producing a compact word DAG.  Costs are combined as
-    graph + acoustic_scale-weighted acoustic (the pair semiring is
-    flattened; scale before determinizing)."""
-    from eesen_tpu.decoder.fst import Arc as FArc, Fst
-    from eesen_tpu.decoder import fst_native as fnat
+    Delegates to clat.determinize_lattice_pruned — the analogue of the
+    reference's DeterminizeLatticePruned wrapper after decoding
+    (src/lat/determinize-lattice-pruned.{h,cc} via
+    decoder-wrappers.cc:87-99): merge all paths with the same word
+    sequence keeping the best, producing a compact word DAG.  Graph and
+    acoustic costs stay SEPARATE through determinization, so the result
+    rescales correctly at any later acoustic scale; acoustic_scale is
+    kept only in the signature for compatibility and no longer flattens
+    the pair (pass it to .scale()/.scaled() afterwards instead)."""
+    from eesen_tpu.decoder.clat import (
+        compact_to_lattice, determinize_lattice_pruned,
+    )
+    clat = determinize_lattice_pruned(lat, lattice_beam=lattice_beam)
+    return compact_to_lattice(clat)
 
-    f = Fst()
-    for _ in range(lat.num_states):
-        f.add_state()
-    f.set_start(lat.start)
-    for s in range(lat.num_states):
-        for a in lat.arcs[s]:
-            w = a.graph_cost + acoustic_scale * a.acoustic_cost
-            f.add_arc(s, FArc(a.olabel, a.olabel, w, a.nextstate))
-    for s, w in lat.finals.items():
-        f.set_final(s, w)
-    d = fnat.determinize_star(f, "tropical")
-    out = Lattice()
-    for _ in range(d.num_states):
-        out.add_state(-1)
-    out.start = d.start
-    for s in range(d.num_states):
-        for a in d.arcs[s]:
-            out.arcs[s].append(
-                LatticeArc(a.ilabel, a.olabel, a.weight, 0.0, a.nextstate)
+
+# ---------------------------------------------------------------------
+# CompactLattice text format
+# ---------------------------------------------------------------------
+
+def write_compact_lattice_text(clat: "CompactLattice", f: TextIO) -> None:
+    """Acceptor text format: `src dst word g,a,i1_i2` with final lines
+    `state g,a,string` (reference: fst::FstPrinter acceptor output +
+    CompactLatticeWeight operator<< — lattice-weight.h:676-687; weight
+    separator ',', string separator '_')."""
+    order = list(range(clat.num_states))
+    if clat.start != 0:
+        order[0], order[clat.start] = clat.start, 0
+    remap = {s: i for i, s in enumerate(order)}
+    for s in order:
+        for a in clat.arcs[s]:
+            ils = "_".join(str(i) for i in a.ilabels)
+            f.write(
+                f"{remap[s]}\t{remap[a.nextstate]}\t{a.word}\t"
+                f"{a.graph_cost:.7g},{a.acoustic_cost:.7g},{ils}\n"
             )
-    for s, w in d.finals.items():
-        out.finals[s] = w
-    _assign_frames(out)
-    return out
+        if s in clat.finals:
+            g, ac, fil = clat.finals[s]
+            ils = "_".join(str(i) for i in fil)
+            f.write(f"{remap[s]}\t{g:.7g},{ac:.7g},{ils}\n")
+
+
+def read_compact_lattice_text(lines: List[str]) -> "CompactLattice":
+    from eesen_tpu.decoder.clat import CompactArc, CompactLattice
+
+    clat = CompactLattice()
+    ids: Dict[int, int] = {}
+
+    def state(x: int) -> int:
+        if x not in ids:
+            ids[x] = clat.add_state()
+        return ids[x]
+
+    def weight(tok: str) -> Tuple[float, float, Tuple[int, ...]]:
+        parts = tok.split(",")
+        g = float(parts[0]) if parts and parts[0] else 0.0
+        ac = float(parts[1]) if len(parts) > 1 and parts[1] else 0.0
+        ils: Tuple[int, ...] = ()
+        if len(parts) > 2 and parts[2]:
+            ils = tuple(int(x) for x in parts[2].split("_"))
+        return g, ac, ils
+
+    for line in lines:
+        parts = line.split()
+        if not parts:
+            continue
+        if len(parts) >= 3:
+            s, d = state(int(parts[0])), state(int(parts[1]))
+            word = int(parts[2])
+            g, ac, ils = weight(parts[3]) if len(parts) > 3 else (0.0, 0.0, ())
+            clat.arcs[s].append(CompactArc(word, g, ac, ils, d))
+        else:
+            s = state(int(parts[0]))
+            clat.finals[s] = (
+                weight(parts[1]) if len(parts) > 1 else (0.0, 0.0, ())
+            )
+    if ids:
+        clat.start = ids[min(ids)]
+    return clat
+
+
+# ---------------------------------------------------------------------
+# Binary format (OpenFst VectorFst layout, little-endian)
+# ---------------------------------------------------------------------
+#
+# The reference writes binary lattices as OpenFst VectorFsts with the
+# CompactLatticeWeight/LatticeWeight arc types (src/lat/kaldi-lattice.cc:62
+# WriteCompactLattice -> t.Write(os, opts); holders detect binary by the
+# FST magic's first byte 214 — kaldi-lattice.cc:372-390).  Layout:
+#   int32 magic (2125659606), string fsttype ("vector"), string arctype,
+#   int32 version (2), int32 flags, uint64 properties, int64 start,
+#   int64 numstates, int64 numarcs; then per state: final weight,
+#   int64 narcs, arcs (int32 ilabel, int32 olabel, weight, int32 nextstate).
+# Weights: lattice4 = 2 float32; compactlattice44 adds int32 count +
+# int32 labels (fstext/lattice-weight.h:129-147,483-498).
+
+_FST_MAGIC = 2125659606
+_F32_INF = float("inf")
+
+
+def _w_int32(f: BinaryIO, v: int) -> None:
+    f.write(int(v).to_bytes(4, "little", signed=True))
+
+
+def _w_int64(f: BinaryIO, v: int) -> None:
+    f.write(int(v).to_bytes(8, "little", signed=True))
+
+
+def _w_f32(f: BinaryIO, v: float) -> None:
+    import struct
+    f.write(struct.pack("<f", v))
+
+
+def _w_str(f: BinaryIO, s: str) -> None:
+    b = s.encode()
+    _w_int32(f, len(b))
+    f.write(b)
+
+
+class _BinReader:
+    def __init__(self, f: BinaryIO) -> None:
+        self.f = f
+
+    def i32(self) -> int:
+        return int.from_bytes(self.f.read(4), "little", signed=True)
+
+    def i64(self) -> int:
+        return int.from_bytes(self.f.read(8), "little", signed=True)
+
+    def u64(self) -> int:
+        return int.from_bytes(self.f.read(8), "little", signed=False)
+
+    def f32(self) -> float:
+        import struct
+        return struct.unpack("<f", self.f.read(4))[0]
+
+    def f64(self) -> float:
+        import struct
+        return struct.unpack("<d", self.f.read(8))[0]
+
+    def s(self) -> str:
+        n = self.i32()
+        return self.f.read(n).decode()
+
+
+def _write_fst_header(
+    f: BinaryIO, arctype: str, start: int, nstates: int, narcs: int
+) -> None:
+    _w_int32(f, _FST_MAGIC)
+    _w_str(f, "vector")
+    _w_str(f, arctype)
+    _w_int32(f, 2)            # VectorFst file version
+    _w_int32(f, 0)            # flags: no symbol tables
+    f.write((0x3).to_bytes(8, "little"))   # properties: expanded|mutable
+    _w_int64(f, start)
+    _w_int64(f, nstates)
+    _w_int64(f, narcs)
+
+
+def write_lattice_binary(lat: Lattice, f: BinaryIO) -> None:
+    """Binary Lattice (arc type lattice4)."""
+    n = lat.num_states
+    order = sorted(range(n), key=lambda s: (lat.state_frame[s], s))
+    if lat.start in order and order.index(lat.start) != 0:
+        i = order.index(lat.start)
+        order[0], order[i] = order[i], order[0]
+    remap = {s: i for i, s in enumerate(order)}
+    _write_fst_header(f, "lattice4", 0 if n else -1, n, lat.num_arcs)
+    for s in order:
+        if s in lat.finals:
+            _w_f32(f, lat.finals[s])
+            _w_f32(f, 0.0)
+        else:
+            _w_f32(f, _F32_INF)
+            _w_f32(f, _F32_INF)
+        _w_int64(f, len(lat.arcs[s]))
+        for a in lat.arcs[s]:
+            _w_int32(f, a.ilabel)
+            _w_int32(f, a.olabel)
+            _w_f32(f, a.graph_cost)
+            _w_f32(f, a.acoustic_cost)
+            _w_int32(f, remap[a.nextstate])
+
+
+def write_compact_lattice_binary(clat: "CompactLattice", f: BinaryIO) -> None:
+    """Binary CompactLattice (arc type compactlattice44)."""
+    n = clat.num_states
+    order = list(range(n))
+    if clat.start != 0 and n:
+        order[0], order[clat.start] = clat.start, 0
+    remap = {s: i for i, s in enumerate(order)}
+    _write_fst_header(
+        f, "compactlattice44", 0 if n else -1, n, clat.num_arcs
+    )
+    for s in order:
+        if s in clat.finals:
+            g, ac, fil = clat.finals[s]
+            _w_f32(f, g)
+            _w_f32(f, ac)
+            _w_int32(f, len(fil))
+            for i in fil:
+                _w_int32(f, i)
+        else:
+            _w_f32(f, _F32_INF)
+            _w_f32(f, _F32_INF)
+            _w_int32(f, 0)
+        _w_int64(f, len(clat.arcs[s]))
+        for a in clat.arcs[s]:
+            _w_int32(f, a.word)
+            _w_int32(f, a.word)   # acceptor: ilabel == olabel == word
+            _w_f32(f, a.graph_cost)
+            _w_f32(f, a.acoustic_cost)
+            _w_int32(f, len(a.ilabels))
+            for i in a.ilabels:
+                _w_int32(f, i)
+            _w_int32(f, remap[a.nextstate])
+
+
+def read_lattice_binary(f: BinaryIO):
+    """Read a binary Lattice or CompactLattice; returns whichever type
+    the arc type declares (lattice4/8 -> Lattice, compactlattice44/84 ->
+    CompactLattice), like the reference's type-dispatching
+    ReadCompactLattice (kaldi-lattice.cc:310-355)."""
+    from eesen_tpu.decoder.clat import CompactArc, CompactLattice
+
+    r = _BinReader(f)
+    magic = r.i32()
+    if magic != _FST_MAGIC:
+        raise ValueError(f"bad FST magic {magic}")
+    fsttype = r.s()
+    if fsttype != "vector":
+        raise ValueError(f"unsupported FST type {fsttype!r}")
+    arctype = r.s()
+    version = r.i32()
+    if version < 1:
+        raise ValueError(f"bad VectorFst version {version}")
+    r.i32()                   # flags
+    r.u64()                   # properties
+    start = r.i64()
+    nstates = r.i64()
+    r.i64()                   # numarcs
+    if arctype in ("lattice4", "lattice8"):
+        dbl = arctype.endswith("8")
+        rf = r.f64 if dbl else r.f32
+        lat = Lattice()
+        for _ in range(nstates):
+            lat.add_state(-1)
+        lat.start = max(start, 0)
+        for s in range(nstates):
+            g, ac = rf(), rf()
+            if g != _F32_INF and ac != _F32_INF:
+                lat.finals[s] = g + ac
+            narcs = r.i64()
+            for _ in range(narcs):
+                il, ol = r.i32(), r.i32()
+                ag, aac = rf(), rf()
+                d = r.i32()
+                lat.arcs[s].append(LatticeArc(il, ol, ag, aac, d))
+        _assign_frames(lat)
+        return lat
+    if arctype in ("compactlattice44", "compactlattice84"):
+        dbl = "8" in arctype[len("compactlattice"):][:1]
+        rf = r.f64 if dbl else r.f32
+        clat = CompactLattice()
+        for _ in range(nstates):
+            clat.add_state()
+        clat.start = max(start, 0)
+        for s in range(nstates):
+            g, ac = rf(), rf()
+            cnt = r.i32()
+            fil = tuple(r.i32() for _ in range(cnt))
+            if g != _F32_INF and ac != _F32_INF:
+                clat.finals[s] = (g, ac, fil)
+            narcs = r.i64()
+            for _ in range(narcs):
+                word = r.i32()
+                r.i32()       # olabel == word (acceptor)
+                ag, aac = rf(), rf()
+                cnt = r.i32()
+                ils = tuple(r.i32() for _ in range(cnt))
+                d = r.i32()
+                clat.arcs[s].append(CompactArc(word, ag, aac, ils, d))
+        return clat
+    raise ValueError(f"unsupported lattice arc type {arctype!r}")
 
 
 def write_lattice_ark(
-    path: str, items: Iterator[Tuple[str, Lattice]]
+    path: str, items: Iterator[Tuple[str, "object"]], binary: bool = False
 ) -> None:
+    """Lattice/CompactLattice archive.  Text framing: `key \\n` + FST text
+    + blank line; binary framing: `key ` + OpenFst binary (the holders
+    write no extra \\0B header — kaldi-lattice.h LatticeHolder::Write)."""
+    from eesen_tpu.decoder.clat import CompactLattice
+
+    if binary:
+        with open(path, "wb") as f:
+            for key, lat in items:
+                f.write(key.encode() + b" ")
+                if isinstance(lat, CompactLattice):
+                    write_compact_lattice_binary(lat, f)
+                else:
+                    write_lattice_binary(lat, f)
+        return
     with open(path, "w") as f:
         for key, lat in items:
             f.write(f"{key} \n")
-            write_lattice_text(lat, f)
+            if isinstance(lat, CompactLattice):
+                write_compact_lattice_text(lat, f)
+            else:
+                write_lattice_text(lat, f)
             f.write("\n")
 
 
-def read_lattice_ark(path: str) -> Iterator[Tuple[str, Lattice]]:
-    with open(path) as f:
-        key: Optional[str] = None
-        lines: List[str] = []
-        for raw in f:
-            line = raw.rstrip("\n")
-            if key is None:
-                if line.strip():
-                    key = line.split()[0]
-                    rest = line[len(key):].strip()
-                    if rest:
-                        lines.append(rest)
+def read_lattice_ark(path: str) -> Iterator[Tuple[str, "object"]]:
+    """Auto-detecting archive reader: per entry, after `key `, a byte 214
+    (the FST magic's first byte) means OpenFst binary, whitespace means a
+    text lattice (the reference's detection — kaldi-lattice.cc:372-390).
+    Yields Lattice or CompactLattice according to the stored arc type;
+    text entries with 3-part weights parse as CompactLattice."""
+    with open(path, "rb") as f:
+        while True:
+            # read key
+            key_b = bytearray()
+            c = f.read(1)
+            if not c:
+                return
+            while c not in (b" ", b""):
+                key_b += c
+                c = f.read(1)
+            if not key_b:
                 continue
-            if not line.strip():
-                yield key, read_lattice_text(lines)
-                key, lines = None, []
-            else:
+            key = key_b.decode()
+            pos = f.tell()
+            probe = f.read(1)
+            if probe == b"\xd6":
+                f.seek(pos)
+                yield key, read_lattice_binary(f)
+                continue
+            # text entry: consume up to newline, then lines until blank
+            while probe not in (b"\n", b""):
+                probe = f.read(1)
+            lines: List[str] = []
+            compact = False
+            while True:
+                raw = f.readline()
+                if not raw or not raw.strip():
+                    break
+                line = raw.decode().rstrip("\n")
+                parts = line.split()
+                w = parts[-1] if parts else ""
+                if (
+                    len(parts) in (2, 4)
+                    and w.count(",") == 2
+                ):
+                    compact = True
                 lines.append(line)
-        if key is not None:
-            yield key, read_lattice_text(lines)
+            if compact:
+                yield key, read_compact_lattice_text(lines)
+            else:
+                yield key, read_lattice_text(lines)

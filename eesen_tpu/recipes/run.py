@@ -68,6 +68,8 @@ class RecipeRun:
         self.trainer: Optional[Trainer] = None
         self.graph: Optional[CompiledGraph] = None
         self.log_priors: Optional[np.ndarray] = None
+        self.params = None            # decode-ready model parameters
+        self.model_cfg = None
 
     # ---- stage 1: lang + labels ----
     def build_lang(self) -> Lang:
@@ -173,6 +175,8 @@ class RecipeRun:
             [train_labels[u.key] for u in tr_utts], num_targets
         )
         self.log_priors = compute_log_priors(counts, ClassPriorOptions())
+        self.params = self.trainer.state.params
+        self.model_cfg = model_cfg
         with open(os.path.join(self.work_dir, "model.pkl"), "wb") as f:
             pickle.dump(
                 {"params": self.trainer.state.params, "config": model_cfg,
@@ -180,6 +184,17 @@ class RecipeRun:
                 f,
             )
         return history
+
+    def load_model(self, path: Optional[str] = None) -> None:
+        """Load decode-ready parameters from a saved model.pkl — decoding
+        needs no live Trainer (the reference's net-output-extract reads
+        any nnet file: netbin/net-output-extract.cc:73)."""
+        path = path or os.path.join(self.work_dir, "model.pkl")
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        self.params = d["params"]
+        self.model_cfg = d["config"]
+        self.log_priors = d.get("log_priors")
 
     # ---- stage 4: graph + decode + score ----
     def build_graph(self, arpa_path_or_text: str) -> CompiledGraph:
@@ -199,6 +214,60 @@ class RecipeRun:
             pickle.dump(self.graph, f)
         return self.graph
 
+    def _decode_params(self):
+        if self.params is None and self.trainer is not None:
+            self.params = self.trainer.state.params
+            self.model_cfg = self.trainer.cfg.model
+        if self.params is None:
+            self.load_model()
+        assert self.params is not None and self.model_cfg is not None
+        return self.params, self.model_cfg
+
+    def _posteriors(
+        self, feats: Dict[str, np.ndarray], chunk: List[str]
+    ) -> Tuple[jnp.ndarray, np.ndarray]:
+        params, model_cfg = self._decode_params()
+        t_max = max(feats[k].shape[0] for k in chunk)
+        dim = feats[chunk[0]].shape[1]
+        arr = np.zeros((len(chunk), t_max, dim), np.float32)
+        lens = np.zeros(len(chunk), np.int32)
+        for j, k in enumerate(chunk):
+            arr[j, : len(feats[k])] = feats[k]
+            lens[j] = len(feats[k])
+        logits = apply_model(
+            params, jnp.asarray(arr), jnp.asarray(lens), model_cfg,
+        )
+        lp = jax.nn.log_softmax(logits, axis=-1)
+        if self.log_priors is not None:
+            lp = subtract_priors(lp, self.log_priors)
+        return lp, lens
+
+    def _run_search(self, feats, keys, cfg, batch_size):
+        """Batched beam search over `keys`; yields (chunk, lp, lens, out).
+        Retries a chunk once with doubled olabel capacity when the
+        per-frame word-emission buffer overflowed (the silent-truncation
+        hazard the overflow counter exists to catch)."""
+        decoder = make_beam_decoder(self.graph, cfg)
+        dg = DeviceGraph.put(self.graph)
+        for i in range(0, len(keys), batch_size):
+            chunk = keys[i : i + batch_size]
+            lp, lens = self._posteriors(feats, chunk)
+            out = decoder(lp, jnp.asarray(lens), dg)
+            n_over = int(np.asarray(out.overflow).sum())
+            if n_over > 0:
+                log.warning(
+                    "beam search dropped %d olabels (max_olabels=%d); "
+                    "re-decoding chunk with doubled capacity",
+                    n_over, cfg.max_olabels,
+                )
+                wide = dataclasses.replace(
+                    cfg, max_olabels=cfg.max_olabels * 2
+                )
+                out = make_beam_decoder(self.graph, wide)(
+                    lp, jnp.asarray(lens), dg
+                )
+            yield chunk, lp, lens, out
+
     def decode(
         self,
         feats: Dict[str, np.ndarray],
@@ -206,35 +275,17 @@ class RecipeRun:
         acoustic_scale: Optional[float] = None,
         batch_size: int = 8,
     ) -> Tuple[WerStats, Dict[str, List[str]]]:
-        assert self.trainer is not None and self.graph is not None
-        assert self.lang is not None
-        model_cfg = self.trainer.cfg.model
+        """Best-path decode -> WER.  Works from a live Trainer OR from the
+        saved model.pkl (load_model)."""
+        assert self.graph is not None and self.lang is not None
         cfg = self.cfg.decode
         if acoustic_scale is not None:
             cfg = dataclasses.replace(cfg, acoustic_scale=acoustic_scale)
-        decoder = make_beam_decoder(self.graph, cfg)
-        dg = DeviceGraph.put(self.graph)
         words = self.lang.words
-
         hyps: Dict[str, List[str]] = {}
-        keys = sorted(feats)
-        for i in range(0, len(keys), batch_size):
-            chunk = keys[i : i + batch_size]
-            t_max = max(feats[k].shape[0] for k in chunk)
-            dim = feats[chunk[0]].shape[1]
-            arr = np.zeros((len(chunk), t_max, dim), np.float32)
-            lens = np.zeros(len(chunk), np.int32)
-            for j, k in enumerate(chunk):
-                arr[j, : len(feats[k])] = feats[k]
-                lens[j] = len(feats[k])
-            logits = apply_model(
-                self.trainer.state.params, jnp.asarray(arr),
-                jnp.asarray(lens), model_cfg,
-            )
-            lp = jax.nn.log_softmax(logits, axis=-1)
-            if self.log_priors is not None:
-                lp = subtract_priors(lp, self.log_priors)
-            out = decoder(lp, jnp.asarray(lens), dg)
+        for chunk, lp, lens, out in self._run_search(
+            feats, sorted(feats), cfg, batch_size
+        ):
             for j, (wids, cost) in enumerate(
                 traceback(out, lens, self.graph.final_weight)
             ):
@@ -242,13 +293,72 @@ class RecipeRun:
         stats = compute_wer(refs, hyps)
         return stats, hyps
 
+    def decode_lattices(
+        self,
+        feats: Dict[str, np.ndarray],
+        batch_size: int = 8,
+        lattice_beam: Optional[float] = None,
+        keep_tokens: int = 64,
+    ) -> Dict[str, object]:
+        """Decode ONCE and return determinized CompactLattices with
+        UNSCALED acoustic costs, ready for acwt sweeps/rescoring without
+        re-decoding (reference: DecodeUtteranceLatticeFaster decodes,
+        determinizes in the pair semiring, unscales by 1/acwt, writes —
+        decoder-wrappers.cc:87-107; scoring then sweeps by lattice-scale,
+        local/score.sh:44-55)."""
+        from eesen_tpu.decoder.clat import determinize_lattice_pruned
+        from eesen_tpu.decoder.lattice import lattice_from_beam
+
+        assert self.graph is not None
+        lbeam = (
+            lattice_beam if lattice_beam is not None
+            else (self.cfg.decode.lattice_beam or 8.0)
+        )
+        cfg = dataclasses.replace(self.cfg.decode, lattice_beam=lbeam)
+        acwt = cfg.acoustic_scale
+        lats: Dict[str, object] = {}
+        for chunk, lp, lens, out in self._run_search(
+            feats, sorted(feats), cfg, batch_size
+        ):
+            ll = np.asarray(lp)
+            for j, k in enumerate(chunk):
+                raw = lattice_from_beam(
+                    out, j, int(lens[j]), self.graph, ll[j],
+                    acwt, keep_tokens=keep_tokens,
+                )
+                # lattice_beam applies in the search-cost domain (the
+                # raw lattice's acoustics are scaled by acwt, like the
+                # reference's in-decoder costs)
+                raw.prune(lbeam)
+                clat = determinize_lattice_pruned(raw, lattice_beam=lbeam)
+                # store with unscaled acoustics for later sweeps
+                lats[k] = clat.scaled(1.0 / acwt if acwt else 1.0)
+        return lats
+
     def score_sweep(
-        self, feats, refs, acwts: Optional[Tuple[float, ...]] = None
+        self,
+        feats,
+        refs,
+        acwts: Optional[Tuple[float, ...]] = None,
+        word_ins_penalty: float = 0.0,
+        batch_size: int = 8,
     ) -> Dict[float, WerStats]:
-        """Per-acwt WER (local/score.sh:44-55)."""
-        out = {}
+        """Per-acwt WER from ONE decode pass: lattices are generated once
+        and rescaled per acwt (local/score.sh:44-55 lattice-scale |
+        lattice-best-path | compute-wer)."""
+        assert self.lang is not None
+        words = self.lang.words
+        lats = self.decode_lattices(feats, batch_size=batch_size)
+        out: Dict[float, WerStats] = {}
         for acwt in acwts or self.cfg.acwt_sweep:
-            stats, _ = self.decode(feats, refs, acoustic_scale=acwt)
-            log.info("acwt %.1f: %s", acwt, stats.report())
+            hyps: Dict[str, List[str]] = {}
+            for k, clat in lats.items():
+                sc = clat.scaled(acwt)
+                if word_ins_penalty:
+                    sc.add_penalty(word_ins_penalty)
+                _, wids, _ = sc.best_path()
+                hyps[k] = [words.sym(w) for w in wids]
+            stats = compute_wer(refs, hyps)
+            log.info("acwt %.2f: %s", acwt, stats.report())
             out[acwt] = stats
         return out

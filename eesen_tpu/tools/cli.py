@@ -11,6 +11,7 @@ speak rspecifiers ("ark:...", "scp:...", "-") like the originals.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -399,10 +400,16 @@ def cmd_latgen(args) -> int:
         beam=args.beam, max_active=args.max_active,
         acoustic_scale=args.acoustic_scale,
     )
+    want_lats = getattr(args, "lattice_ark", None)
+    if want_lats:
+        cfg = dataclasses.replace(
+            cfg, lattice_beam=args.lattice_beam
+        )
     decoder = make_beam_decoder(graph, cfg)
     dg = DeviceGraph.put(graph)
 
     batch, keys = [], []
+    lats = []
 
     def flush(out_f):
         if not batch:
@@ -423,6 +430,27 @@ def cmd_latgen(args) -> int:
                 else " ".join(map(str, wids))
             )
             out_f.write(f"{keys[i]} {text}\n")
+        if want_lats:
+            from eesen_tpu.decoder.clat import determinize_lattice_pruned
+            from eesen_tpu.decoder.lattice import lattice_from_beam
+            for i, key in enumerate(keys):
+                raw = lattice_from_beam(
+                    out, i, int(lens[i]), graph, arr[i],
+                    args.acoustic_scale, keep_tokens=64,
+                )
+                raw.prune(args.lattice_beam)
+                clat = determinize_lattice_pruned(
+                    raw, lattice_beam=args.lattice_beam
+                )
+                # archives hold unscaled acoustics (decoder-wrappers.cc
+                # :100-107 ScaleLattice by 1/acwt before writing)
+                lats.append((
+                    key,
+                    clat.scaled(
+                        1.0 / args.acoustic_scale
+                        if args.acoustic_scale else 1.0
+                    ),
+                ))
         batch.clear()
         keys.clear()
 
@@ -435,6 +463,9 @@ def cmd_latgen(args) -> int:
     flush(out_f)
     if out_f is not sys.stdout:
         out_f.close()
+    if want_lats:
+        from eesen_tpu.decoder.lattice_io import write_lattice_ark
+        write_lattice_ark(args.lattice_ark, iter(lats), binary=args.binary)
     return 0
 
 
@@ -555,6 +586,219 @@ def cmd_compute_wer(args) -> int:
     hyps = read_text(args.hyp)
     stats = compute_wer(refs, hyps, mode=args.mode)
     print(stats.report())
+    return 0
+
+
+def cmd_train(args) -> int:
+    """Full CTC training from the shell: newbob epochs, checkpoints,
+    model.pkl out (= netbin/train-ctc-parallel.cc:30 driven by
+    steps/train_ctc_parallel.sh's epoch loop, all in-process here).
+
+    Features and labels come from rspecifiers (labels = int-vector ark,
+    as prep_ctc_trans writes); cv sets drive the newbob halving."""
+    import pickle
+    from eesen_tpu.models.model import AcousticModelConfig
+    from eesen_tpu.training.batching import (
+        BatchConfig, Utterance, make_batches,
+    )
+    from eesen_tpu.training.optim import OptimizerConfig
+    from eesen_tpu.training.schedule import NewbobConfig
+    from eesen_tpu.training.trainer import Trainer, TrainerConfig
+
+    feats = {k: np.asarray(v, np.float32)
+             for k, v in read_rspecifier(args.feats_rspecifier)}
+    labels = {k: np.asarray(v, np.int32)
+              for k, v in read_rspecifier(args.labels_rspecifier)}
+    cv_feats = {k: np.asarray(v, np.float32)
+                for k, v in read_rspecifier(args.cv_feats_rspecifier)}
+    cv_labels = {k: np.asarray(v, np.int32)
+                 for k, v in read_rspecifier(args.cv_labels_rspecifier)}
+    if not feats:
+        print("train: empty feature rspecifier", file=sys.stderr)
+        return 1
+    input_dim = next(iter(feats.values())).shape[1]
+    model_cfg = AcousticModelConfig(
+        input_dim=input_dim,
+        cell_dim=args.cell_dim,
+        num_layers=args.num_layers,
+        num_targets=args.num_targets,
+        param_range=args.param_range,
+        fgate_bias=args.fgate_bias,
+        forward_dropout=args.forward_dropout,
+        recurrent_dropout=args.recurrent_dropout,
+    )
+    tcfg = TrainerConfig(
+        model=model_cfg,
+        optimizer=OptimizerConfig(
+            algorithm=args.optimizer, momentum=args.momentum,
+            max_grad=args.max_grad,
+        ),
+        newbob=NewbobConfig(
+            learn_rate=args.learn_rate, max_iters=args.max_iters,
+            min_iters=args.min_iters,
+            start_halving_inc=args.start_halving_inc,
+            end_halving_inc=args.end_halving_inc,
+            halving_factor=args.halving_factor,
+        ),
+        report_step=args.report_step,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    bcfg = BatchConfig(
+        num_sequence=args.num_sequence, frame_limit=args.frame_limit,
+    )
+
+    def mk(fd, ld):
+        return [
+            Utterance(k, fd[k], ld[k]) for k in sorted(fd)
+            if k in ld and len(ld[k]) > 0
+        ]
+
+    tr_utts, cv_utts = mk(feats, labels), mk(cv_feats, cv_labels)
+    trainer = Trainer(tcfg)
+    history = trainer.fit(
+        lambda: make_batches(tr_utts, bcfg),
+        lambda: make_batches(cv_utts, bcfg),
+    )
+    blob = {"params": trainer.state.params, "config": model_cfg}
+    if args.label_counts:
+        from eesen_tpu.models.priors import counts_from_labels
+        counts = counts_from_labels(
+            [labels[u.key] for u in tr_utts], args.num_targets
+        )
+        np.savetxt(args.label_counts, counts)
+    with open(args.model_out, "wb") as f:
+        pickle.dump(blob, f)
+    last = history[max(history)]
+    print(
+        f"train: {len(history)} epochs, final train_acc "
+        f"{last.get('train_acc', float('nan')):.2f} cv_acc "
+        f"{last.get('cv_acc', float('nan')):.2f}"
+    )
+    return 0
+
+
+# --------------------------------------------------------------------------
+# lattice archive tools (decoderbin/lattice-*.cc equivalents)
+# --------------------------------------------------------------------------
+
+def _lattice_items(path):
+    from eesen_tpu.decoder.lattice_io import read_lattice_ark
+    yield from read_lattice_ark(path)
+
+
+def _write_lattices(path, items, binary):
+    from eesen_tpu.decoder.lattice_io import write_lattice_ark
+    write_lattice_ark(path, items, binary=binary)
+
+
+def cmd_lattice_scale(args) -> int:
+    """(= decoderbin/lattice-scale.cc)"""
+    def gen():
+        for key, lat in _lattice_items(args.in_ark):
+            if hasattr(lat, "scaled"):
+                lat = lat.scaled(args.acoustic_scale, args.lm_scale)
+            else:
+                lat.scale(args.acoustic_scale, args.lm_scale)
+            yield key, lat
+    _write_lattices(args.out_ark, gen(), args.binary)
+    return 0
+
+
+def cmd_lattice_prune(args) -> int:
+    """(= decoderbin/lattice-prune.cc)"""
+    def gen():
+        for key, lat in _lattice_items(args.in_ark):
+            lat.prune(args.beam)
+            yield key, lat
+    _write_lattices(args.out_ark, gen(), args.binary)
+    return 0
+
+
+def cmd_lattice_add_penalty(args) -> int:
+    """(= decoderbin/lattice-add-penalty.cc)"""
+    def gen():
+        for key, lat in _lattice_items(args.in_ark):
+            lat.add_penalty(args.word_ins_penalty)
+            yield key, lat
+    _write_lattices(args.out_ark, gen(), args.binary)
+    return 0
+
+
+def cmd_lattice_copy(args) -> int:
+    """(= fstcopy/lattice-copy: text<->binary conversion)"""
+    _write_lattices(args.out_ark, _lattice_items(args.in_ark), args.binary)
+    return 0
+
+
+def cmd_lattice_best_path(args) -> int:
+    """(= decoderbin/lattice-best-path.cc): transcripts to stdout/file."""
+    from eesen_tpu.decoder.ctc_graph import SymbolTable
+
+    words = SymbolTable.read(args.words) if args.words else None
+    out_f = sys.stdout if args.out == "-" else open(args.out, "w")
+    for key, lat in _lattice_items(args.in_ark):
+        if hasattr(lat, "scaled"):
+            lat = lat.scaled(args.acoustic_scale, args.lm_scale)
+        else:
+            lat.scale(args.acoustic_scale, args.lm_scale)
+        _, wids, cost = lat.best_path()
+        text = (
+            " ".join(words.sym(w) for w in wids) if words
+            else " ".join(map(str, wids))
+        )
+        out_f.write(f"{key} {text}\n")
+    if out_f is not sys.stdout:
+        out_f.close()
+    return 0
+
+
+def cmd_lattice_to_nbest(args) -> int:
+    """(= decoderbin/lattice-to-nbest.cc): `key-N words` lines."""
+    from eesen_tpu.decoder.clat import compact_to_lattice
+    from eesen_tpu.decoder.ctc_graph import SymbolTable
+
+    words = SymbolTable.read(args.words) if args.words else None
+    out_f = sys.stdout if args.out == "-" else open(args.out, "w")
+    for key, lat in _lattice_items(args.in_ark):
+        if hasattr(lat, "scaled"):
+            lat = compact_to_lattice(lat)
+        for i, (wids, cost) in enumerate(lat.nbest(args.n), 1):
+            text = (
+                " ".join(words.sym(w) for w in wids) if words
+                else " ".join(map(str, wids))
+            )
+            out_f.write(f"{key}-{i} {text}\n")
+    if out_f is not sys.stdout:
+        out_f.close()
+    return 0
+
+
+def cmd_lattice_to_ctm_conf(args) -> int:
+    """(= decoderbin/lattice-to-ctm-conf.cc): MBR one-best with
+    confidences in CTM format."""
+    from eesen_tpu.decoder.clat import compact_to_lattice
+    from eesen_tpu.decoder.ctc_graph import SymbolTable
+    from eesen_tpu.decoder.sausages import minimum_bayes_risk
+
+    words = SymbolTable.read(args.words) if args.words else None
+    out_f = sys.stdout if args.out == "-" else open(args.out, "w")
+    for key, lat in _lattice_items(args.in_ark):
+        if hasattr(lat, "scaled"):
+            lat = compact_to_lattice(lat)
+        mbr = minimum_bayes_risk(lat)
+        if mbr is None:
+            continue
+        for (w, conf, (s, e)) in zip(
+            mbr.words, mbr.confidences, mbr.times
+        ):
+            name = words.sym(w) if words else str(w)
+            dur = max(e - s, 1) * args.frame_shift
+            out_f.write(
+                f"{key} 1 {s * args.frame_shift:.2f} {dur:.2f} "
+                f"{name} {conf:.3f}\n"
+            )
+    if out_f is not sys.stdout:
+        out_f.close()
     return 0
 
 
@@ -685,6 +929,11 @@ def main(argv=None) -> int:
     p.add_argument("--acoustic-scale", type=float, default=0.9)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--words", default="")
+    p.add_argument("--lattice-ark", default=None,
+                   help="also write determinized CompactLattices here")
+    p.add_argument("--lattice-beam", type=float, default=8.0)
+    p.add_argument("--binary", action="store_true",
+                   help="binary lattice archive")
     p.add_argument("graph")
     p.add_argument("loglikes_rspecifier")
     p.add_argument("out")
@@ -717,6 +966,88 @@ def main(argv=None) -> int:
     p.add_argument("labels_rspecifier")
     p.add_argument("out")
     p.set_defaults(func=cmd_align)
+
+    p = sub.add_parser(
+        "train",
+        help="CTC training with newbob schedule (train-ctc-parallel)",
+    )
+    p.add_argument("feats_rspecifier")
+    p.add_argument("labels_rspecifier")
+    p.add_argument("cv_feats_rspecifier")
+    p.add_argument("cv_labels_rspecifier")
+    p.add_argument("model_out")
+    p.add_argument("--num-targets", type=int, required=True)
+    p.add_argument("--cell-dim", type=int, default=320)
+    p.add_argument("--num-layers", type=int, default=4)
+    p.add_argument("--param-range", type=float, default=0.1)
+    p.add_argument("--fgate-bias", type=float, default=0.0)
+    p.add_argument("--forward-dropout", type=float, default=0.0)
+    p.add_argument("--recurrent-dropout", type=float, default=0.0)
+    p.add_argument("--optimizer", default="sgd",
+                   choices=["sgd", "adagrad", "rmsprop"])
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--max-grad", type=float, default=50.0)
+    p.add_argument("--learn-rate", type=float, default=4e-5)
+    p.add_argument("--max-iters", type=int, default=25)
+    p.add_argument("--min-iters", type=int, default=None)
+    p.add_argument("--start-halving-inc", type=float, default=0.5)
+    p.add_argument("--end-halving-inc", type=float, default=0.1)
+    p.add_argument("--halving-factor", type=float, default=0.5)
+    p.add_argument("--num-sequence", type=int, default=16)
+    p.add_argument("--frame-limit", type=int, default=100000)
+    p.add_argument("--report-step", type=int, default=100)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--label-counts", default=None,
+                   help="write class frame counts for priors")
+    p.set_defaults(func=cmd_train)
+
+    def _lat_io(p, scale=False):
+        p.add_argument("in_ark")
+        p.add_argument("out_ark")
+        p.add_argument("--binary", action="store_true")
+        if scale:
+            p.add_argument("--acoustic-scale", type=float, default=1.0)
+            p.add_argument("--lm-scale", type=float, default=1.0)
+
+    p = sub.add_parser("lattice-scale")
+    _lat_io(p, scale=True)
+    p.set_defaults(func=cmd_lattice_scale)
+
+    p = sub.add_parser("lattice-prune")
+    _lat_io(p)
+    p.add_argument("--beam", type=float, default=8.0)
+    p.set_defaults(func=cmd_lattice_prune)
+
+    p = sub.add_parser("lattice-add-penalty")
+    _lat_io(p)
+    p.add_argument("--word-ins-penalty", type=float, default=0.0)
+    p.set_defaults(func=cmd_lattice_add_penalty)
+
+    p = sub.add_parser("lattice-copy")
+    _lat_io(p)
+    p.set_defaults(func=cmd_lattice_copy)
+
+    p = sub.add_parser("lattice-best-path")
+    p.add_argument("in_ark")
+    p.add_argument("--out", default="-")
+    p.add_argument("--words", default=None)
+    p.add_argument("--acoustic-scale", type=float, default=1.0)
+    p.add_argument("--lm-scale", type=float, default=1.0)
+    p.set_defaults(func=cmd_lattice_best_path)
+
+    p = sub.add_parser("lattice-to-nbest")
+    p.add_argument("in_ark")
+    p.add_argument("--out", default="-")
+    p.add_argument("--words", default=None)
+    p.add_argument("--n", type=int, default=10)
+    p.set_defaults(func=cmd_lattice_to_nbest)
+
+    p = sub.add_parser("lattice-to-ctm-conf")
+    p.add_argument("in_ark")
+    p.add_argument("--out", default="-")
+    p.add_argument("--words", default=None)
+    p.add_argument("--frame-shift", type=float, default=0.01)
+    p.set_defaults(func=cmd_lattice_to_ctm_conf)
 
     args = parser.parse_args(argv)
     return args.func(args)

@@ -218,6 +218,13 @@ class TrainerConfig:
     seed: int = 777
     report_step: int = 100       # log every N batches (reference report_step)
     checkpoint_dir: Optional[str] = None
+    # compute the (host-side) token-error-rate monitor every N train
+    # batches; 1 = every batch like the reference's ErrorRateMSeq
+    # (ctc-loss.cc:235).  CV epochs always use every batch since newbob
+    # halves on CV accuracy.  The monitor is also processed one step
+    # LATE so the host edit distance overlaps the next device step
+    # instead of serializing with it.
+    ter_step: int = 1
 
 
 class Trainer:
@@ -250,6 +257,29 @@ class Trainer:
         report = EpochReport()
         timer = Timer()
         n = 0
+        ter_step = max(self.cfg.ter_step, 1) if train else 1
+        # metrics are processed ONE STEP LATE: the host fetch + edit
+        # distance for step t runs while step t+1 executes on device, so
+        # the loop never serializes host against device (the round-1
+        # implementation fetched synchronously every batch and idled the
+        # chip; bench.py's chained-step throughput is now the real loop's)
+        pending = None   # (metrics, batch_meta, want_ter)
+
+        def process(entry):
+            metrics, meta, want_ter = entry
+            feat_lengths, labels, label_lengths = meta
+            if want_ter:
+                errs, refs = token_error_counts(
+                    np.asarray(metrics["argmax"]),
+                    feat_lengths, labels, label_lengths,
+                )
+            else:
+                errs = refs = 0
+            report.update(
+                float(metrics["obj_sum"]), int(metrics["frames"]),
+                errs, refs, int(np.sum(feat_lengths > 0)),
+            )
+
         for batch in batches:
             keys = batch.pop("keys", None)
             if self.mesh is not None:
@@ -264,23 +294,23 @@ class Trainer:
                 )
             else:
                 metrics = self.eval_step(self.state.params, dev_batch)
-            errs, refs = token_error_counts(
-                np.asarray(metrics["argmax"]),
-                batch["feat_lengths"],
-                batch["labels"],
-                batch["label_lengths"],
-            )
-            report.update(
-                float(metrics["obj_sum"]), int(metrics["frames"]),
-                errs, refs, int(np.sum(batch["feat_lengths"] > 0)),
-            )
             n += 1
+            if pending is not None:
+                process(pending)
+            pending = (
+                metrics,
+                (batch["feat_lengths"], batch["labels"],
+                 batch["label_lengths"]),
+                n % ter_step == 0,
+            )
             if n % self.cfg.report_step == 0:
                 fps = report.total_frames / max(timer.elapsed(), 1e-9)
                 log.info(
                     "%s batch %d: %s (%.0f frames/sec)",
                     "TRAIN" if train else "CV", n, report.report(), fps,
                 )
+        if pending is not None:
+            process(pending)
         return report
 
     def fit(

@@ -145,3 +145,29 @@ def test_full_recipe(tmp_path):
     refs = {k: text[k] for k in cv}
     stats, hyps = run.decode({k: feats[k] for k in cv}, refs)
     assert stats.wer < 40.0, (stats.report(), hyps)
+
+    # acwt sweep from ONE decode pass (lattice rescaling, not re-decoding;
+    # local/score.sh:44-55): at the decode acwt the swept WER must equal
+    # the direct decode's WER
+    cv_feats = {k: feats[k] for k in cv}
+    sweep = run.score_sweep(cv_feats, refs, acwts=(0.5, 0.9, 1.3))
+    assert sweep[0.9].wer == pytest.approx(stats.wer, abs=1e-9), (
+        sweep[0.9].report(), stats.report(),
+    )
+    assert set(sweep) == {0.5, 0.9, 1.3}
+
+    # determinized lattices rescore at different acwts: costs must move
+    # with the scale (pair semiring retained through determinization)
+    lats = run.decode_lattices(cv_feats)
+    k0 = sorted(lats)[0]
+    c_lo = lats[k0].scaled(0.5).best_path()[2]
+    c_hi = lats[k0].scaled(1.3).best_path()[2]
+    assert c_lo != c_hi
+
+    # decode from the saved checkpoint, no live Trainer
+    run2 = RecipeRun(cfg, str(tmp_path / "work"), lexicon, PHONES)
+    run2.build_lang()
+    run2.graph = run.graph
+    run2.load_model()
+    stats2, _ = run2.decode(cv_feats, refs)
+    assert stats2.wer == pytest.approx(stats.wer, abs=1e-9)
