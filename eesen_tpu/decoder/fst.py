@@ -303,6 +303,221 @@ def compose(a: Fst, b: Fst) -> Fst:
     return connect(out)
 
 
+def push_special(fst: Fst, delta: float = 1e-3, max_iters: int = 200) -> Fst:
+    """Weight pushing that preserves total stochasticity (the analogue of
+    fstpushspecial; reference src/fstext/push-special.{h,cc}).
+
+    Unlike plain weight pushing, this works on FSTs that do not sum to
+    one: it finds per-state potentials v (the dominant eigenvector of the
+    probability matrix, with final weights treated as arcs back to the
+    start state, as push-special.cc's comment describes) and reweights
+    arcs w' = w + log v[src] - log v[dst], so every state's outgoing
+    probability mass becomes (approximately) the same constant lambda.
+    Path weights are preserved up to the constant start/final shift,
+    exactly as the reference's version.
+    """
+    n = fst.num_states
+    if n == 0 or fst.start < 0:
+        return fst.copy()
+    # transition probability structure (tropical weights -> probs)
+    v = np.ones(n, dtype=np.float64)
+    lam = 1.0
+    for _ in range(max_iters):
+        nv = np.zeros(n, dtype=np.float64)
+        for s in range(n):
+            acc = 0.0
+            for a in fst.arcs[s]:
+                acc += math.exp(-a.weight) * v[a.nextstate]
+            fw = fst.finals.get(s)
+            if fw is not None:
+                acc += math.exp(-fw) * v[fst.start]
+            nv[s] = acc
+        norm = float(np.max(nv))
+        if norm <= 0:
+            break
+        # damped update: (M~ + I)/2 has the same eigenvector but is
+        # aperiodic, so cyclic FSTs (where plain power iteration
+        # oscillates) still converge
+        nv = 0.5 * (nv / norm) + 0.5 * v
+        nv /= float(np.max(nv))
+        diff = float(np.max(np.abs(nv - v)))
+        v, lam = nv, norm
+        if diff < delta:
+            break
+    v = np.maximum(v, 1e-30)
+    out = fst.copy()
+    logv = np.log(v)
+    for s in range(n):
+        for a in out.arcs[s]:
+            a.weight = a.weight + logv[s] - logv[a.nextstate]
+    for s in list(out.finals):
+        out.finals[s] = out.finals[s] + logv[s] - logv[out.start]
+    return out
+
+
+def phi_compose(a: Fst, b: Fst, phi_label: int) -> Fst:
+    """Compose where b's phi_label arcs are FAILURE transitions: taken
+    (without consuming input) only when the wanted label has no match at
+    the current b state, following phi chains as far as needed
+    (= fstphicompose; reference src/fstbin/fstphicompose.cc /
+    fst::PhiMatcher — the standard way to apply a backoff LM exactly).
+    b must be deterministic on its input labels (true of arpa G fsts)."""
+    # index b: per state, ilabel -> arc; phi -> arc
+    trans: List[Dict[int, Arc]] = []
+    phi: List[Optional[Arc]] = []
+    for s in range(b.num_states):
+        d: Dict[int, Arc] = {}
+        p: Optional[Arc] = None
+        for arc in b.arcs[s]:
+            if arc.ilabel == phi_label:
+                p = arc
+            else:
+                d[arc.ilabel] = arc
+        trans.append(d)
+        phi.append(p)
+
+    def resolve(sb: int, label: int) -> Optional[Tuple[float, Arc]]:
+        """Follow phi arcs until `label` matches; returns (accumulated phi
+        weight, matching arc)."""
+        w = 0.0
+        seen = set()
+        while True:
+            arc = trans[sb].get(label)
+            if arc is not None:
+                return w, arc
+            p = phi[sb]
+            if p is None or sb in seen:
+                return None
+            seen.add(sb)
+            w += p.weight
+            sb = p.nextstate
+
+    def final_weight(sb: int) -> float:
+        """Final weight following phi chains (PhiMatcher semantics for
+        superfinal handling: back off until a final state)."""
+        w = 0.0
+        seen = set()
+        while True:
+            fw = b.finals.get(sb)
+            if fw is not None:
+                return w + fw
+            p = phi[sb]
+            if p is None or sb in seen:
+                return INF
+            seen.add(sb)
+            w += p.weight
+            sb = p.nextstate
+
+    out = Fst()
+    state_map: Dict[Tuple[int, int], int] = {}
+
+    def get_state(sa: int, sb: int) -> int:
+        key = (sa, sb)
+        if key not in state_map:
+            state_map[key] = out.add_state()
+        return state_map[key]
+
+    if a.start < 0 or b.start < 0:
+        return out
+    out.set_start(get_state(a.start, b.start))
+    stack = [(a.start, b.start)]
+    seen = {(a.start, b.start)}
+    while stack:
+        sa, sb = stack.pop()
+        cur = get_state(sa, sb)
+        if a.is_final(sa):
+            fw = final_weight(sb)
+            if fw < INF:
+                out.set_final(cur, a.final_weight(sa) + fw)
+        for aa in a.arcs[sa]:
+            if aa.olabel == EPS:
+                nxt = (aa.nextstate, sb)
+                out.add_arc(cur, Arc(aa.ilabel, EPS, aa.weight,
+                                     get_state(*nxt)))
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append(nxt)
+            else:
+                hit = resolve(sb, aa.olabel)
+                if hit is None:
+                    continue
+                pw, ab = hit
+                nxt = (aa.nextstate, ab.nextstate)
+                out.add_arc(cur, Arc(
+                    aa.ilabel, ab.olabel, aa.weight + pw + ab.weight,
+                    get_state(*nxt),
+                ))
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append(nxt)
+    return connect(out)
+
+
+def rho_compose(a: Fst, b: Fst, rho_label: int) -> Fst:
+    """Compose where b's rho_label arcs match ANY otherwise-unmatched
+    label, consuming it (= fstrhocompose with label rewriting; reference
+    src/fstbin/fstrhocompose.cc / fst::RhoMatcher)."""
+    trans: List[Dict[int, Arc]] = []
+    rho: List[Optional[Arc]] = []
+    for s in range(b.num_states):
+        d: Dict[int, Arc] = {}
+        r: Optional[Arc] = None
+        for arc in b.arcs[s]:
+            if arc.ilabel == rho_label:
+                r = arc
+            else:
+                d[arc.ilabel] = arc
+        trans.append(d)
+        rho.append(r)
+
+    out = Fst()
+    state_map: Dict[Tuple[int, int], int] = {}
+
+    def get_state(sa: int, sb: int) -> int:
+        key = (sa, sb)
+        if key not in state_map:
+            state_map[key] = out.add_state()
+        return state_map[key]
+
+    if a.start < 0 or b.start < 0:
+        return out
+    out.set_start(get_state(a.start, b.start))
+    stack = [(a.start, b.start)]
+    seen = {(a.start, b.start)}
+    while stack:
+        sa, sb = stack.pop()
+        cur = get_state(sa, sb)
+        if a.is_final(sa) and b.is_final(sb):
+            out.set_final(cur, a.final_weight(sa) + b.final_weight(sb))
+        for aa in a.arcs[sa]:
+            if aa.olabel == EPS:
+                nxt = (aa.nextstate, sb)
+                out.add_arc(cur, Arc(aa.ilabel, EPS, aa.weight,
+                                     get_state(*nxt)))
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append(nxt)
+                continue
+            ab = trans[sb].get(aa.olabel)
+            rewrite = aa.olabel
+            if ab is None:
+                ab = rho[sb]
+                if ab is None:
+                    continue
+                # rho consumes the actual label: olabel rewritten to it
+                ol = rewrite
+            else:
+                ol = ab.olabel
+            nxt = (aa.nextstate, ab.nextstate)
+            out.add_arc(cur, Arc(
+                aa.ilabel, ol, aa.weight + ab.weight, get_state(*nxt),
+            ))
+            if nxt not in seen:
+                seen.add(nxt)
+                stack.append(nxt)
+    return connect(out)
+
+
 def rm_epsilon(fst: Fst, semiring: str = "tropical") -> Fst:
     """Full weighted epsilon removal (fst::RmEpsilon semantics).
 

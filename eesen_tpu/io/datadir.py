@@ -149,6 +149,7 @@ class DataDir:
         names = {
             "wav_scp": "wav.scp", "text": "text", "utt2spk": "utt2spk",
             "feats_scp": "feats.scp", "cmvn_scp": "cmvn.scp",
+            "segments": "segments",
         }
         for attr, fname in names.items():
             if attr in tables:

@@ -102,6 +102,20 @@ def _read_compressed_matrix(f: BinaryIO) -> np.ndarray:
     return out.T.copy()  # [rows, cols]
 
 
+def _read_compressed_matrix2(f: BinaryIO) -> np.ndarray:
+    """Decompress the "CM2" format-2 matrix: all data is row-major
+    uint16, value = min + range * v / 65535 (compressed-matrix.cc:85
+    format choice for <=8 rows; Uint16ToFloat :233-239)."""
+    min_value, value_range = struct.unpack("<ff", f.read(8))
+    num_rows, num_cols = struct.unpack("<ii", f.read(8))
+    if num_cols == 0 or num_rows == 0:
+        return np.zeros((max(num_rows, 0), max(num_cols, 0)), np.float32)
+    data = np.frombuffer(
+        f.read(2 * num_rows * num_cols), dtype="<u2"
+    ).reshape(num_rows, num_cols).astype(np.float32)
+    return (min_value + data * (value_range / 65535.0)).astype(np.float32)
+
+
 def _read_binary_value(f: BinaryIO) -> np.ndarray:
     tok = _expect_token(f)
     if tok in ("FM", "DM"):
@@ -119,7 +133,7 @@ def _read_binary_value(f: BinaryIO) -> np.ndarray:
     if tok == "CM":
         return _read_compressed_matrix(f)
     if tok == "CM2":
-        raise NotImplementedError("CM2 compressed matrices not supported")
+        return _read_compressed_matrix2(f)
     raise ValueError(f"unknown binary token {tok!r}")
 
 
@@ -271,16 +285,24 @@ def read_rspecifier(rspec: str) -> Iterator[Tuple[str, np.ndarray]]:
 
 
 def write_compressed_matrix(f: BinaryIO, mat: np.ndarray) -> None:
-    """Write the reference's "CM" format-1 compressed matrix
-    (compressed-matrix.cc CompressColumn/ComputeColHeader semantics:
-    per-column uint16 percentiles at 0/25/75/100 and uint8 piecewise-linear
-    codes)."""
+    """Write the reference's compressed matrix: "CM" format 1 (>8 rows:
+    per-column uint16 percentiles at 0/25/75/100 + uint8 piecewise-linear
+    codes) or "CM2" format 2 (<=8 rows: all-uint16 row-major), matching
+    compressed-matrix.cc:79-85's format choice."""
     mat = np.ascontiguousarray(mat, dtype=np.float32)
     rows, cols = mat.shape
     min_v = float(mat.min()) if mat.size else 0.0
     rng_v = float(mat.max() - min_v) if mat.size else 0.0
     if rng_v == 0.0:
         rng_v = 1.0
+    if rows <= 8:
+        f.write(b"\x00BCM2 ")
+        f.write(struct.pack("<ffii", min_v, rng_v, rows, cols))
+        codes = np.clip(
+            ((mat - min_v) / rng_v) * 65535 + 0.499, 0, 65535
+        ).astype("<u2")
+        f.write(codes.tobytes())
+        return
 
     def f2u16(v):
         return np.clip(

@@ -237,3 +237,108 @@ def test_shortest_path():
     )
     il, ol, w = shortest_path(f)
     assert il == [1, 3] and abs(w - 1.1) < 1e-6
+
+
+class TestPushSpecial:
+    def _chain(self):
+        from eesen_tpu.decoder.fst import Arc, Fst
+        f = Fst()
+        s = [f.add_state() for _ in range(3)]
+        f.set_start(s[0])
+        f.add_arc(s[0], Arc(1, 1, 2.0, s[1]))
+        f.add_arc(s[0], Arc(2, 2, 0.1, s[1]))
+        f.add_arc(s[1], Arc(3, 3, 1.5, s[2]))
+        f.set_final(s[2], 0.3)
+        return f
+
+    def test_path_weights_preserved(self):
+        from eesen_tpu.decoder.fst import push_special, shortest_path
+        f = self._chain()
+        _, _, before = shortest_path(f)
+        g = push_special(f)
+        _, _, after = shortest_path(g)
+        # push-special preserves total path weight exactly (no start
+        # weight exists, and the final adjustment uses the start potential)
+        np.testing.assert_allclose(after, before, rtol=1e-4)
+
+    def test_outgoing_mass_equalized(self):
+        import math
+        from eesen_tpu.decoder.fst import push_special
+        f = self._chain()
+        g = push_special(f, delta=1e-8, max_iters=2000)
+
+        def mass(fst, s):
+            m = sum(math.exp(-a.weight) for a in fst.arcs[s])
+            if s in fst.finals:
+                m += math.exp(-fst.finals[s])
+            return m
+
+        masses = [mass(g, s) for s in range(g.num_states)]
+        assert max(masses) / min(masses) < 1.01, masses
+        # the original is far from stochastic
+        m0 = [mass(f, s) for s in range(f.num_states)]
+        assert max(m0) / min(m0) > 1.2
+
+
+class TestPhiRhoCompose:
+    def _lm(self):
+        """Tiny backoff 'LM': state 0 matches word 1 directly; other
+        words only via phi (label 99) to state 1 which matches 2."""
+        from eesen_tpu.decoder.fst import Arc, Fst
+        b = Fst()
+        s0, s1 = b.add_state(), b.add_state()
+        b.set_start(s0)
+        b.add_arc(s0, Arc(1, 1, 0.5, s0))       # word 1 at order-2
+        b.add_arc(s0, Arc(99, 99, 0.9, s1))     # backoff
+        b.add_arc(s1, Arc(2, 2, 0.7, s0))       # word 2 at order-1
+        b.set_final(s0, 0.2)
+        return b
+
+    def _acceptor(self, words):
+        from eesen_tpu.decoder.fst import Arc, Fst
+        a = Fst()
+        cur = a.add_state()
+        a.set_start(cur)
+        for w in words:
+            nxt = a.add_state()
+            a.add_arc(cur, Arc(w, w, 0.0, nxt))
+            cur = nxt
+        a.set_final(cur, 0.0)
+        return a
+
+    def test_phi_direct_match_no_backoff(self):
+        from eesen_tpu.decoder.fst import phi_compose, shortest_path
+        c = phi_compose(self._acceptor([1]), self._lm(), phi_label=99)
+        _, ols, w = shortest_path(c)
+        assert ols == [1]
+        np.testing.assert_allclose(w, 0.5 + 0.2, rtol=1e-6)
+
+    def test_phi_backoff_path(self):
+        from eesen_tpu.decoder.fst import phi_compose, shortest_path
+        c = phi_compose(self._acceptor([2]), self._lm(), phi_label=99)
+        _, ols, w = shortest_path(c)
+        assert ols == [2]
+        # phi cost 0.9 + word-2 cost 0.7 + final 0.2
+        np.testing.assert_allclose(w, 0.9 + 0.7 + 0.2, rtol=1e-6)
+
+    def test_phi_no_match_gives_empty(self):
+        from eesen_tpu.decoder.fst import phi_compose
+        c = phi_compose(self._acceptor([7]), self._lm(), phi_label=99)
+        assert not c.finals
+
+    def test_rho_matches_rest(self):
+        from eesen_tpu.decoder.fst import Arc, Fst, rho_compose, shortest_path
+        b = Fst()
+        s0, s1 = b.add_state(), b.add_state()
+        b.set_start(s0)
+        b.add_arc(s0, Arc(1, 1, 0.25, s1))     # explicit word 1
+        b.add_arc(s0, Arc(55, 55, 2.0, s1))    # rho: anything else
+        b.set_final(s1, 0.0)
+        c1 = rho_compose(self._acceptor([1]), b, rho_label=55)
+        _, ols, w = shortest_path(c1)
+        assert ols == [1]
+        np.testing.assert_allclose(w, 0.25, rtol=1e-6)
+        c2 = rho_compose(self._acceptor([9]), b, rho_label=55)
+        _, ols2, w2 = shortest_path(c2)
+        assert ols2 == [9]                      # label rewritten
+        np.testing.assert_allclose(w2, 2.0, rtol=1e-6)

@@ -179,3 +179,41 @@ def test_datadir_splits(tmp_path):
     shards = d.split_shards(3)
     assert sorted(sum(shards, [])) == d.utt_ids
     assert abs(len(shards[0]) - len(shards[2])) <= 1
+
+
+def test_compressed_matrix_cm2_roundtrip(tmp_path):
+    """<=8-row matrices use the all-uint16 CM2 format
+    (compressed-matrix.cc:79-85); verify write+read round trip."""
+    from eesen_tpu.io.kaldi_io import read_ark, write_ark
+
+    rng = np.random.default_rng(5)
+    m = (rng.standard_normal((6, 13)) * 4).astype(np.float32)
+    path = str(tmp_path / "cm2.ark")
+    write_ark(path, [("u1", m)], compress=True)
+    with open(path, "rb") as f:
+        head = f.read(10)
+    assert b"CM2 " in head
+    (key, back), = list(read_ark(path))
+    assert key == "u1" and back.shape == m.shape
+    # 16-bit quantization over the matrix range: tight tolerance
+    rng_v = float(m.max() - m.min())
+    np.testing.assert_allclose(back, m, atol=rng_v / 65535.0 * 1.01)
+
+
+def test_compressed_matrix_cm2_handbuilt(tmp_path):
+    """Hand-built CM2 entry decodes with the exact reference formula
+    value = min + range * v / 65535 (compressed-matrix.cc:233-239)."""
+    from eesen_tpu.io.kaldi_io import read_ark
+
+    codes = np.array([[0, 65535, 32768]], dtype="<u2")
+    path = str(tmp_path / "cm2h.ark")
+    with open(path, "wb") as f:
+        f.write(b"utt9 \x00BCM2 ")
+        f.write(struct.pack("<ffii", -2.0, 4.0, 1, 3))
+        f.write(codes.tobytes())
+    (key, m), = list(read_ark(path))
+    assert key == "utt9"
+    np.testing.assert_allclose(
+        m[0], [-2.0, 2.0, -2.0 + 4.0 * 32768 / 65535],
+        rtol=1e-6, atol=1e-6,   # float32 storage of the midpoint
+    )
