@@ -69,6 +69,11 @@ class BeamSearchConfig:
     # approximate top-k (jax.lax.approx_max_k): much cheaper on TPU for
     # large K; pruning becomes slightly approximate (recall ~0.95)
     approx_top_k: bool = False
+    # funnel pre-prune: exact top_k by score narrows the K*D proposals to
+    # funnel_mult*K before the recombination sort (the per-frame cost
+    # driver).  Exact as long as the funnel survivors cover >= K distinct
+    # destinations; 0 disables.
+    funnel_mult: int = 0
     # skip the (sort-heavy) Viterbi recombination on all but the LAST
     # epsilon iteration: duplicates temporarily waste beam slots but the
     # search stays exact as long as max_active has headroom
@@ -160,21 +165,34 @@ def _expand(
 
 def _dedup_and_prune(
     dst: Array, score: Array, k: int, beam: float, approx: bool = False,
+    funnel: int = 0,
 ) -> Tuple[Array, Array, Array]:
     """Viterbi-recombine proposals sharing a destination state, apply the
     beam, keep the best K.  Returns (new_states [B,K], new_scores [B,K],
-    kept proposal idx [B,K] into the original proposal axis)."""
+    kept proposal idx [B,K] into the original proposal axis).
+
+    One lexicographic (dst, score) sort makes the best proposal per state
+    the first of its destination run.  With funnel > 0, an exact top_k by
+    score first narrows the m proposals to the `funnel` best before the
+    (much costlier) sort; this is exact whenever the funnel survivors
+    cover >= k distinct destinations — guaranteed-safe beyond k*max_degree,
+    and in practice a few*k (duplicates per destination are bounded by the
+    active set's in-degree within the beam)."""
     b, m = dst.shape
     best = jnp.min(score, axis=1, keepdims=True)
     score = jnp.where(score <= best + beam, score, INF)
     idx0 = jnp.broadcast_to(
         jnp.arange(m, dtype=jnp.int32)[None, :], (b, m)
     )
-    score1, dst1, idx1 = jax.lax.sort(
-        (score, dst, idx0), num_keys=1, dimension=1
-    )
+    if 0 < funnel < m:
+        f = max(funnel, k)
+        neg, fidx = jax.lax.top_k(-score, f)
+        score = -neg
+        fidx = fidx.astype(jnp.int32)
+        dst = jnp.take_along_axis(dst, fidx, axis=1)
+        idx0 = fidx
     dst2, score2, orig_idx = jax.lax.sort(
-        (dst1, score1, idx1), num_keys=1, is_stable=True, dimension=1
+        (dst, score, idx0), num_keys=2, dimension=1
     )
     first = jnp.concatenate(
         [jnp.ones((b, 1), bool), dst2[:, 1:] != dst2[:, :-1]], axis=1
@@ -243,6 +261,7 @@ def make_beam_decoder(
     approx = cfg.approx_top_k
     light = cfg.light_eps_dedup
     light_emit = cfg.light_emit_dedup
+    funnel = cfg.funnel_mult * k if cfg.funnel_mult > 0 else 0
     L = max(cfg.max_olabels, 1)
     lat_beam = cfg.lattice_beam
 
@@ -270,7 +289,7 @@ def make_beam_decoder(
         all_offs = jnp.concatenate([offs, d_offs], axis=1)
         if do_full_dedup:
             new_states, new_scores, top_idx = _dedup_and_prune(
-                all_dst, all_score, k, beam, approx
+                all_dst, all_score, k, beam, approx, funnel
             )
         else:
             new_states, new_scores, top_idx = _topk_prune(
@@ -384,7 +403,7 @@ def make_beam_decoder(
                 e_states, e_scores, e_idx = _topk_prune(dst, pscore, k)
             else:
                 e_states, e_scores, e_idx = _dedup_and_prune(
-                    dst, pscore, k, beam, approx
+                    dst, pscore, k, beam, approx, funnel
                 )
             parent = jnp.take_along_axis(parent_e, e_idx, axis=1)
             e_offs = jnp.take_along_axis(d_offs, e_idx[..., None], axis=1)
@@ -421,6 +440,38 @@ def make_beam_decoder(
         return BeamOutputs(st, sc, par, ol, init_olab, overflow, lm)
 
     return jax.jit(decode)
+
+
+def make_sharded_beam_decoder(
+    graph: CompiledGraph,
+    cfg: BeamSearchConfig,
+    mesh,
+    axis: str = "data",
+):
+    """Multi-chip decode: shard the utterance batch over `mesh[axis]` with
+    the graph replicated on every chip (the TPU-native analogue of the
+    reference's nj job-sharded decode, steps/decode_ctc_lat.sh:99-104).
+
+    Returns fn(loglikes [B,T,V], lengths [B], dg) -> BeamOutputs; B must
+    be divisible by the axis size.  Each shard runs the identical search
+    program on its slice — no cross-chip communication is needed, so
+    scaling is linear in chips."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    base = make_beam_decoder(graph, cfg)
+    out_specs = BeamOutputs(
+        states=P(None, axis), scores=P(None, axis), parent=P(None, axis),
+        olabels=P(None, axis), init_olabels=P(axis), overflow=P(axis),
+        lat_mask=P(None, axis),
+    )
+    f = shard_map(
+        base, mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=out_specs,
+        check_rep=False,
+    )
+    return jax.jit(f)
 
 
 def traceback(

@@ -136,6 +136,16 @@ def _direction_scan(
     h = cfg.cell_dim
     cdt = cfg.compute_dtype
 
+    if rec_drop_mask is None and _pallas_enabled(cfg):
+        # fully fused kernel: input projection + recurrence in one
+        # pallas_call, W_x/W_m resident in VMEM (ops/lstm_pallas.py v2)
+        from eesen_tpu.ops.lstm_pallas import lstm_direction_fused
+
+        return lstm_direction_fused(
+            x, mask, p["w_gifo_x"], p["bias"], p["w_gifo_m"],
+            p["phole_i_c"], p["phole_f_c"], p["phole_o_c"],
+        ) * mask[:, :, None]
+
     # big input projection for all steps at once (MXU)
     xw = (
         jnp.einsum(
@@ -144,14 +154,6 @@ def _direction_scan(
         )
         + p["bias"]
     )  # [B, T, 4, H] float32
-
-    if rec_drop_mask is None and _pallas_enabled(cfg):
-        from eesen_tpu.ops.lstm_pallas import lstm_direction_pallas
-
-        return lstm_direction_pallas(
-            xw, mask, p["w_gifo_m"],
-            p["phole_i_c"], p["phole_f_c"], p["phole_o_c"],
-        ) * mask[:, :, None]
 
     w_m = p["w_gifo_m"].astype(cdt)
     ph_i, ph_f, ph_o = p["phole_i_c"], p["phole_f_c"], p["phole_o_c"]

@@ -321,6 +321,389 @@ lstm_scan.defvjp(_lstm_scan_fwd, _lstm_scan_bwd)
 
 
 # --------------------------------------------------------------------------
+# fused-projection kernel (v2)
+#
+# The v1 kernel above streams a precomputed xw = x @ W_x + b ([T, B, 4Hp]
+# f32) from HBM — ~4x more input traffic than streaming x itself, plus a
+# full HBM materialization of xw by XLA, plus a second [T, B, 4Hp] f32
+# round trip for dxw on the backward pass.  v2 instead:
+#
+# - keeps BOTH weight matrices (W_x [Dp, 4Hp] and W_m [Hp, 4Hp], bf16)
+#   resident in VMEM and streams x ([T, B, Dp] bf16);
+# - processes `block_t` time steps per grid step: the input projection for
+#   the whole block is ONE large MXU matmul ([BT*B, Dp] x [Dp, 4Hp]), and
+#   the per-step work is just the recurrent matmul + VPU gate math;
+# - drops the c_raw residual (recomputed in the backward kernel from the
+#   stored gates and the c carry);
+# - the backward kernel emits dx (= dgifo @ W_x^T) and accumulates dW_x
+#   (= x^T dgifo) in VMEM, so no [T, B, 4Hp] dxw ever touches HBM.
+#
+# Reference semantics unchanged: src/net/bilstm-parallel-layer.h:97-150
+# per-t loop, GIFO gate order (src/net/lstm-layer.h:70-73).
+# --------------------------------------------------------------------------
+
+
+def _fused_fwd_kernel(
+    x_ref,       # [BT, B, Dp] bf16 (this block's inputs)
+    mask_ref,    # [BT, B, 1] f32
+    wx_ref,      # [Dp, 4Hp] bf16   (resident)
+    b_ref,       # [1, 4Hp] f32     (resident)
+    wm_ref,      # [Hp, 4Hp] bf16   (resident)
+    ph_ref,      # [3, Hp] f32      (peepholes i, f, o)
+    m_out_ref,   # [BT, B, Hp] f32  (m_carry)
+    c_out_ref,   # [BT, B, Hp] f32  (c_carry)
+    gates_ref,   # [BT, B, 4Hp] bf16 (post-activation g,i,f,o)
+    m_scr,       # [B, Hp] f32 scratch (carried m)
+    c_scr,       # [B, Hp] f32 scratch (carried c)
+):
+    blk = pl.program_id(0)
+    bt, b, dp = x_ref.shape
+    hp = m_scr.shape[1]
+
+    @pl.when(blk == 0)
+    def _():
+        m_scr[:] = jnp.zeros_like(m_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    # input projection for the whole block: one big MXU matmul
+    xw_all = jnp.dot(
+        x_ref[:].reshape(bt * b, dp), wx_ref[:],
+        preferred_element_type=jnp.float32,
+    ) + b_ref[0, :]                       # [BT*B, 4Hp]
+
+    for i in range(bt):
+        m_prev = m_scr[:]
+        c_prev = c_scr[:]
+        gifo = xw_all[i * b : (i + 1) * b] + jnp.dot(
+            m_prev.astype(jnp.bfloat16), wm_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        g = jnp.tanh(gifo[:, 0 * hp : 1 * hp])
+        ig = jax.nn.sigmoid(gifo[:, 1 * hp : 2 * hp] + c_prev * ph_ref[0, :])
+        f = jax.nn.sigmoid(gifo[:, 2 * hp : 3 * hp] + c_prev * ph_ref[1, :])
+        c_raw = f * c_prev + ig * g
+        o = jax.nn.sigmoid(gifo[:, 3 * hp : 4 * hp] + c_raw * ph_ref[2, :])
+        m_raw = o * jnp.tanh(c_raw)
+
+        mt = mask_ref[i]                  # [B, 1]
+        c_new = c_raw * mt + c_prev * (1.0 - mt)
+        m_new = m_raw * mt + m_prev * (1.0 - mt)
+        m_scr[:] = m_new
+        c_scr[:] = c_new
+        m_out_ref[i] = m_new
+        c_out_ref[i] = c_new
+        gates_ref[i] = jnp.concatenate(
+            [g, ig, f, o], axis=1
+        ).astype(jnp.bfloat16)
+
+
+def _fused_bwd_kernel(
+    x_ref,       # [BT, B, Dp] bf16
+    mask_ref,    # [BT, B, 1] f32
+    gates_ref,   # [BT, B, 4Hp] bf16
+    c_ref,       # [BT, B, Hp] f32  (c_carry rows of this block)
+    m_ref,       # [BT, B, Hp] f32  (m_carry rows of this block)
+    cl_ref,      # [1, B, Hp] f32   (c_carry at the row before this block)
+    ml_ref,      # [1, B, Hp] f32   (m_carry at the row before this block)
+    gm_ref,      # [BT, B, Hp] f32  (cotangent of m_carry)
+    wx_ref,      # [Dp, 4Hp] bf16
+    wm_ref,      # [Hp, 4Hp] bf16
+    ph_ref,      # [3, Hp] f32
+    dx_ref,      # [BT, B, Dp] bf16 out
+    dwx_ref,     # [Dp, 4Hp] f32 out (written at last program)
+    dwm_ref,     # [Hp, 4Hp] f32 out
+    db_ref,      # [1, 4Hp] f32 out
+    dph_ref,     # [3, Hp] f32 out
+    dm_scr,      # [B, Hp] carry
+    dc_scr,      # [B, Hp] carry
+    dgifo_scr,   # [BT*B, 4Hp] f32 (per-block pre-activation grads)
+    dwx_scr,     # [Dp, 4Hp] f32 acc
+    dwm_scr,     # [Hp, 4Hp] f32 acc
+    db_scr,      # [1, 4Hp] f32 acc
+    dph_scr,     # [3, Hp] f32 acc
+):
+    k = pl.program_id(0)
+    n = pl.num_programs(0)
+    bt, b, dp = x_ref.shape
+    hp = dm_scr.shape[1]
+
+    @pl.when(k == 0)
+    def _():
+        dm_scr[:] = jnp.zeros_like(dm_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        dwx_scr[:] = jnp.zeros_like(dwx_scr)
+        dwm_scr[:] = jnp.zeros_like(dwm_scr)
+        db_scr[:] = jnp.zeros_like(db_scr)
+        dph_scr[:] = jnp.zeros_like(dph_scr)
+
+    # 0.0 when this is the first (original-time) block, so the "previous
+    # row" reads (clamped to row 0 by the index map) become zeros — the
+    # initial state.
+    prev_flag = jnp.where(k == n - 1, 0.0, 1.0).astype(jnp.float32)
+
+    for i in range(bt - 1, -1, -1):
+        gates = gates_ref[i].astype(jnp.float32)
+        g = gates[:, 0 * hp : 1 * hp]
+        ig = gates[:, 1 * hp : 2 * hp]
+        f = gates[:, 2 * hp : 3 * hp]
+        o = gates[:, 3 * hp : 4 * hp]
+        if i > 0:
+            c_prev = c_ref[i - 1]
+            m_prev = m_ref[i - 1]
+        else:
+            c_prev = cl_ref[0] * prev_flag
+            m_prev = ml_ref[0] * prev_flag
+        c_raw = f * c_prev + ig * g       # recomputed residual
+        mt = mask_ref[i]                  # [B, 1]
+        tanh_c = jnp.tanh(c_raw)
+
+        dm_total = gm_ref[i] + dm_scr[:]
+        dm_raw = dm_total * mt
+        dm_prev_pass = dm_total * (1.0 - mt)
+        dc_in = dc_scr[:]
+        dc_raw = dc_in * mt
+        dc_prev_pass = dc_in * (1.0 - mt)
+
+        do = dm_raw * tanh_c
+        dc_raw = dc_raw + dm_raw * o * (1.0 - tanh_c * tanh_c)
+        do_pre = do * o * (1.0 - o)
+        dc_raw = dc_raw + do_pre * ph_ref[2, :]
+        di_pre = dc_raw * g * ig * (1.0 - ig)
+        df_pre = dc_raw * c_prev * f * (1.0 - f)
+        dg_pre = dc_raw * ig * (1.0 - g * g)
+        dc_prev = (
+            dc_raw * f + di_pre * ph_ref[0, :] + df_pre * ph_ref[1, :]
+            + dc_prev_pass
+        )
+        dgifo = jnp.concatenate([dg_pre, di_pre, df_pre, do_pre], axis=1)
+
+        dm_in = jnp.dot(
+            dgifo.astype(jnp.bfloat16), wm_ref[:].T,
+            preferred_element_type=jnp.float32,
+        )
+        dm_scr[:] = dm_in + dm_prev_pass
+        dc_scr[:] = dc_prev
+        dgifo_scr[i * b : (i + 1) * b] = dgifo
+        dwm_scr[:] += jnp.dot(
+            m_prev.astype(jnp.bfloat16).T, dgifo.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        db_scr[0, :] += jnp.sum(dgifo, axis=0)
+        dph_scr[0, :] += jnp.sum(di_pre * c_prev, axis=0)
+        dph_scr[1, :] += jnp.sum(df_pre * c_prev, axis=0)
+        dph_scr[2, :] += jnp.sum(do_pre * c_raw, axis=0)
+
+    # block-level input grads: two big MXU matmuls
+    dgifo_all = dgifo_scr[:].astype(jnp.bfloat16)     # [BT*B, 4Hp]
+    dx_ref[:] = jnp.dot(
+        dgifo_all, wx_ref[:].T, preferred_element_type=jnp.float32,
+    ).reshape(bt, b, dp).astype(jnp.bfloat16)
+    dwx_scr[:] += jnp.dot(
+        x_ref[:].reshape(bt * b, dp).T, dgifo_all,
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == n - 1)
+    def _():
+        dwx_ref[:] = dwx_scr[:]
+        dwm_ref[:] = dwm_scr[:]
+        db_ref[:] = db_scr[:]
+        dph_ref[:] = dph_scr[:]
+
+
+def _fused_fwd_call(x, mask, wx_bf, bias, wm_bf, ph, block_t, interpret):
+    t_max, b, dp = x.shape
+    fourhp = wm_bf.shape[1]
+    hp = fourhp // 4
+    nblk = t_max // block_t
+    bt = block_t
+    out = pl.pallas_call(
+        _fused_fwd_kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((bt, b, dp), lambda k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, b, 1), lambda k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, fourhp), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fourhp), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, fourhp), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, hp), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, b, hp), lambda k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, b, hp), lambda k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, b, fourhp), lambda k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_max, b, hp), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, b, hp), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, b, fourhp), jnp.bfloat16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hp), jnp.float32),
+            pltpu.VMEM((b, hp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, mask, wx_bf, bias, wm_bf, ph)
+    return out
+
+
+def _fused_bwd_call(
+    x, mask, gates, ccarry, mcarry, gm, wx_bf, wm_bf, ph, block_t, interpret
+):
+    t_max, b, dp = x.shape
+    fourhp = wm_bf.shape[1]
+    hp = fourhp // 4
+    bt = block_t
+    nblk = t_max // bt
+    rev = lambda k: (nblk - 1 - k, 0, 0)
+    # the single carry row preceding this block (clamped to row 0; the
+    # kernel zeroes it via prev_flag when processing the first block)
+    prev_row = lambda k: (jnp.maximum((nblk - 1 - k) * bt - 1, 0), 0, 0)
+
+    out = pl.pallas_call(
+        _fused_bwd_kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((bt, b, dp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, b, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, b, fourhp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, b, hp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, b, hp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hp), prev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, hp), prev_row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, b, hp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, fourhp), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, fourhp), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, hp), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, b, dp), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, fourhp), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, fourhp), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fourhp), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, hp), lambda k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_max, b, dp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((dp, fourhp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, fourhp), jnp.float32),
+            jax.ShapeDtypeStruct((1, fourhp), jnp.float32),
+            jax.ShapeDtypeStruct((3, hp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, hp), jnp.float32),
+            pltpu.VMEM((b, hp), jnp.float32),
+            pltpu.VMEM((bt * b, fourhp), jnp.float32),
+            pltpu.VMEM((dp, fourhp), jnp.float32),
+            pltpu.VMEM((hp, fourhp), jnp.float32),
+            pltpu.VMEM((1, fourhp), jnp.float32),
+            pltpu.VMEM((3, hp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, mask, gates, ccarry, mcarry, ccarry, mcarry, gm, wx_bf, wm_bf, ph)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def lstm_fused(
+    x: Array,        # [T, B, Dp] bf16 (padded; T divisible by block_t)
+    mask: Array,     # [T, B, 1] f32
+    w_x: Array,      # [Dp, 4Hp] (cast to bf16 internally)
+    bias: Array,     # [1, 4Hp] f32
+    w_m: Array,      # [Hp, 4Hp]
+    ph: Array,       # [3, Hp] f32 (peepholes i, f, o)
+    block_t: int = 8,
+    interpret: bool = False,
+) -> Array:
+    """Fully fused LSTM direction (input projection + recurrence); returns
+    m_carry [T, B, Hp] f32."""
+    m, _, _ = _fused_fwd_call(
+        x, mask, w_x.astype(jnp.bfloat16), bias,
+        w_m.astype(jnp.bfloat16), ph, block_t, interpret,
+    )
+    return m
+
+
+def _lstm_fused_fwd(x, mask, w_x, bias, w_m, ph, block_t, interpret):
+    wx_bf = w_x.astype(jnp.bfloat16)
+    wm_bf = w_m.astype(jnp.bfloat16)
+    m, c, gates = _fused_fwd_call(
+        x, mask, wx_bf, bias, wm_bf, ph, block_t, interpret
+    )
+    return m, (x, mask, gates, c, m, wx_bf, wm_bf, ph)
+
+
+def _lstm_fused_bwd(block_t, interpret, res, gm):
+    x, mask, gates, c, m, wx_bf, wm_bf, ph = res
+    dx, dwx, dwm, db, dph = _fused_bwd_call(
+        x, mask, gates, c, m, gm, wx_bf, wm_bf, ph, block_t, interpret
+    )
+    return (
+        dx, None, dwx.astype(jnp.float32), db, dwm.astype(jnp.float32), dph
+    )
+
+
+lstm_fused.defvjp(_lstm_fused_fwd, _lstm_fused_bwd)
+
+
+def lstm_direction_fused(
+    x: Array,        # [B, T, D] (already time-reversed for the bw direction)
+    mask: Array,     # [B, T] f32
+    w_gifo_x: Array,  # [D, 4, H]
+    bias: Array,      # [4, H]
+    w_gifo_m: Array,  # [H, 4, H]
+    ph_i: Array, ph_f: Array, ph_o: Array,  # [H]
+    block_t: int = 8,
+    interpret: bool = False,
+) -> Array:
+    """Pad to tiles, run the fused-projection kernel, unpad.
+    Returns m [B, T, H] f32."""
+    b, t_max, d = x.shape
+    h = w_gifo_m.shape[0]
+    hp = _round_up(h, 128)
+    dp = _round_up(d, 128)
+    bp = _round_up(b, 8)
+    tp = _round_up(t_max, block_t)
+
+    xt = jnp.zeros((tp, bp, dp), jnp.bfloat16)
+    xt = xt.at[:t_max, :b, :d].set(
+        jnp.moveaxis(x, 0, 1).astype(jnp.bfloat16)
+    )
+    mk = jnp.zeros((tp, bp, 1), jnp.float32)
+    mk = mk.at[:t_max, :b, 0].set(jnp.moveaxis(mask, 0, 1))
+    wx = jnp.pad(
+        w_gifo_x, ((0, dp - d), (0, 0), (0, hp - h))
+    ).reshape(dp, 4 * hp)
+    bs = jnp.pad(bias, ((0, 0), (0, hp - h))).reshape(1, 4 * hp)
+    wm = jnp.pad(
+        w_gifo_m, ((0, hp - h), (0, 0), (0, hp - h))
+    ).reshape(hp, 4 * hp)
+    ph = jnp.stack([
+        jnp.pad(ph_i, (0, hp - h)),
+        jnp.pad(ph_f, (0, hp - h)),
+        jnp.pad(ph_o, (0, hp - h)),
+    ])
+    m = lstm_fused(xt, mk, wx, bs, wm, ph, block_t, interpret)
+    return jnp.moveaxis(m[:t_max, :b, :h], 0, 1)
+
+
+# --------------------------------------------------------------------------
 # high-level direction runner used by models.bilstm
 # --------------------------------------------------------------------------
 

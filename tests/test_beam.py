@@ -183,3 +183,69 @@ def test_beam_hub_and_closure_modes(tlg, hub_threshold, closure):
         [lang.words.sym(w) for w in ref_words],
     )
     np.testing.assert_allclose(cost, ref_cost, rtol=1e-4, atol=1e-3)
+
+@pytest.mark.parametrize("funnel_mult", [1, 2])
+def test_beam_funnel_exact(tlg, funnel_mult):
+    """Funnel pre-prune must not change the best path (funnel survivors
+    cover all reachable destinations at these sizes)."""
+    lang, fst = tlg
+    rng = np.random.default_rng(13)
+    ll = synth_loglikes(
+        rng, lang, ["a", "a", "b", "c", "<blk>"], t_per=2, noise=1.0
+    )
+    ref = FasterDecoder(
+        fst, FasterDecoderOptions(beam=1e9, max_active=10**9,
+                                  acoustic_scale=0.9)
+    )
+    _, ref_words, ref_cost = ref.decode(ll)
+
+    g = compile_graph(fst, max_degree=8, build_closure=True)
+    decoder = make_beam_decoder(
+        g, BeamSearchConfig(beam=1e9, max_active=256, acoustic_scale=0.9,
+                            funnel_mult=funnel_mult)
+    )
+    out = decoder(
+        jnp.asarray(ll[None]), jnp.asarray([ll.shape[0]]), DeviceGraph.put(g)
+    )
+    (words, cost), = traceback(out, np.asarray([ll.shape[0]]), g.final_weight)
+    assert words == ref_words
+    np.testing.assert_allclose(cost, ref_cost, rtol=1e-4, atol=1e-3)
+
+def test_sharded_beam_matches_single(tlg):
+    """shard_map over the batch axis must reproduce single-device decode
+    exactly (graph replicated, no cross-chip communication)."""
+    import jax
+    from eesen_tpu.decoder.beam import make_sharded_beam_decoder
+    from eesen_tpu.parallel.mesh import MeshConfig, make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs a 4+ device mesh")
+    lang, fst = tlg
+    rng = np.random.default_rng(21)
+    seqs = [
+        ["a", "<blk>", "b"], ["b", "a", "<blk>", "a"],
+        ["a", "a", "b", "c"], ["c", "<blk>", "b", "a"],
+    ]
+    lls = [synth_loglikes(rng, lang, s, t_per=2) for s in seqs]
+    t_max = max(x.shape[0] for x in lls)
+    batch = np.zeros((4, t_max, lls[0].shape[1]), np.float32)
+    lengths = np.zeros(4, np.int32)
+    for i, x in enumerate(lls):
+        batch[i, : len(x)] = x
+        lengths[i] = len(x)
+
+    g = compile_graph(fst, max_degree=8, build_closure=True)
+    cfg = BeamSearchConfig(beam=1e9, max_active=128)
+    dg = DeviceGraph.put(g)
+    single = make_beam_decoder(g, cfg)(
+        jnp.asarray(batch), jnp.asarray(lengths), dg
+    )
+    mesh = make_mesh(MeshConfig(data=4, model=1), devices=jax.devices()[:4])
+    sharded = make_sharded_beam_decoder(g, cfg, mesh)(
+        jnp.asarray(batch), jnp.asarray(lengths), dg
+    )
+    r_single = traceback(single, lengths, g.final_weight)
+    r_sharded = traceback(sharded, lengths, g.final_weight)
+    for (w1, c1), (w2, c2) in zip(r_single, r_sharded):
+        assert w1 == w2
+        np.testing.assert_allclose(c1, c2, rtol=1e-5, atol=1e-5)
