@@ -565,6 +565,295 @@ Fst minimize_encoded(const Fst& f) {
   return connect(out);
 }
 
+// ---------- TPU graph compilation (decoder/graph_compile.py, native) ----------
+//
+// Degree-capped CSR arc tables + hub extraction + eps transitive closure.
+// Exact lockstep with the Python implementation (same visit order, same
+// float-sum association, same >1e-12 tie rule) so both produce identical
+// tables; the Python one remains as the no-compiler fallback and as the
+// cross-check oracle in tests/test_fst_native.py.
+//
+// Reference context: the reference decodes on CPU over OpenFst structures
+// (src/decoder/lattice-faster-decoder.cc); TPU needs static-shape dense
+// tables, built here at native speed for LM-scale graphs (millions of
+// arcs, src/fstext/table-matcher.h workloads).
+
+struct CompiledBuf {
+  std::vector<uint8_t> buf;
+  template <typename T>
+  void put(const T* p, size_t count) {
+    const uint8_t* b = (const uint8_t*)p;
+    buf.insert(buf.end(), b, b + count * sizeof(T));
+  }
+  void put64(int64_t v) { put(&v, 1); }
+};
+
+Fst cap_degree(const Fst& in, int max_degree) {
+  Fst out = in;
+  size_t s = 0;
+  while (s < out.arcs.size()) {
+    if ((int)out.arcs[s].size() > max_degree) {
+      std::vector<Arc> arcs = std::move(out.arcs[s]);
+      std::vector<Arc> new_arcs;
+      for (size_t i = 0; i < arcs.size(); i += max_degree) {
+        int32_t aux = out.add_state();
+        size_t hi = std::min(arcs.size(), i + max_degree);
+        out.arcs[aux].assign(arcs.begin() + i, arcs.begin() + hi);
+        new_arcs.push_back({kEps, kEps, 0.0f, aux});
+      }
+      out.arcs[s] = std::move(new_arcs);
+      if ((int)out.arcs[s].size() <= max_degree) s++;
+      // else: revisit s, re-splitting the group arcs level by level
+    } else {
+      s++;
+    }
+  }
+  return out;
+}
+
+int fst_eps_depth(const std::vector<std::vector<Arc>>& eps_rows, int cap) {
+  int64_t n = (int64_t)eps_rows.size();
+  std::vector<int32_t> depth(n, 0);
+  for (int it = 0; it < cap; it++) {
+    bool changed = false;
+    for (int64_t s = 0; s < n; s++)
+      for (auto& a : eps_rows[s]) {
+        int32_t d = depth[s] + 1;
+        if (d > depth[a.dst]) { depth[a.dst] = d; changed = true; }
+      }
+    if (!changed) {
+      int32_t m = 0;
+      for (auto d : depth) m = std::max(m, d);
+      return m;
+    }
+  }
+  return cap;
+}
+
+struct ClosureEnt { int32_t dst; float w; int32_t ol; };
+
+// reverse-topological closure DP; returns per-state entries sorted by
+// (dst, w, ol) and writes the max out-degree.  Mirrors Python
+// _eps_closure_tables exactly (including the cycle-fallback's absence:
+// caller guarantees a DAG; on a cycle we relax depth_cap rounds).
+std::vector<std::vector<ClosureEnt>> eps_closure(
+    const std::vector<std::vector<Arc>>& rows, int* max_deg) {
+  int64_t n = (int64_t)rows.size();
+  std::vector<int64_t> indeg(n, 0);
+  for (int64_t s = 0; s < n; s++)
+    for (auto& a : rows[s]) indeg[a.dst]++;
+  std::vector<int32_t> order;
+  order.reserve(n);
+  for (int64_t s = 0; s < n; s++)
+    if (indeg[s] == 0) order.push_back((int32_t)s);
+  for (size_t head = 0; head < order.size(); head++)
+    for (auto& a : rows[order[head]])
+      if (--indeg[a.dst] == 0) order.push_back(a.dst);
+
+  std::vector<std::vector<ClosureEnt>> closure(n);
+  std::unordered_map<int32_t, int32_t> idx;
+  if ((int64_t)order.size() == n) {
+    for (int64_t i = n - 1; i >= 0; i--) {
+      int32_t s = order[i];
+      std::vector<ClosureEnt> ent;
+      idx.clear();
+      auto relax = [&](int32_t dst, float w, int32_t ol) {
+        auto it = idx.find(dst);
+        if (it == idx.end()) {
+          idx[dst] = (int32_t)ent.size();
+          ent.push_back({dst, w, ol});
+        } else if (w < ent[it->second].w - 1e-12) {
+          ent[it->second] = {dst, w, ol};
+        }
+      };
+      for (auto& a : rows[s]) {
+        relax(a.dst, a.w, a.ol);
+        for (auto& e : closure[a.dst])
+          relax(e.dst, a.w + e.w, a.ol ? a.ol : e.ol);
+      }
+      closure[s] = std::move(ent);
+    }
+  } else {
+    // eps cycle guard: bounded relaxation (matches Python fallback)
+    std::vector<std::unordered_map<int32_t, std::pair<float, int32_t>>> cm(n);
+    for (int64_t s = 0; s < n; s++)
+      for (auto& a : rows[s]) {
+        auto it = cm[s].find(a.dst);
+        if (it == cm[s].end() || a.w < it->second.first)
+          cm[s][a.dst] = {a.w, a.ol};
+      }
+    for (int r = 0; r < 64; r++) {
+      bool changed = false;
+      for (int64_t s = 0; s < n; s++) {
+        auto items = std::vector<std::pair<int32_t, std::pair<float, int32_t>>>(
+            cm[s].begin(), cm[s].end());
+        for (auto& [mid, wo] : items)
+          for (auto& [dst, wo2] : cm[mid]) {
+            float w = wo.first + wo2.first;
+            int32_t o = wo.second ? wo.second : wo2.second;
+            auto it = cm[s].find(dst);
+            if (it == cm[s].end() || w < it->second.first - 1e-12) {
+              cm[s][dst] = {w, o};
+              changed = true;
+            }
+          }
+      }
+      if (!changed) break;
+    }
+    for (int64_t s = 0; s < n; s++)
+      for (auto& [dst, wo] : cm[s])
+        closure[s].push_back({dst, wo.first, wo.second});
+  }
+  int md = 0;
+  for (int64_t s = 0; s < n; s++) {
+    std::sort(closure[s].begin(), closure[s].end(),
+              [](const ClosureEnt& a, const ClosureEnt& b) {
+                if (a.dst != b.dst) return a.dst < b.dst;
+                if (a.w != b.w) return a.w < b.w;
+                return a.ol < b.ol;
+              });
+    md = std::max(md, (int)closure[s].size());
+  }
+  *max_deg = md;
+  return closure;
+}
+
+// Buffer layout (all little-endian):
+//   int64[12]: n, start, Ee, En, H, Eh, has_closure, Ec,
+//              max_emit_deg, max_eps_deg, eps_depth, max_closure_deg
+//   int32 emit_offsets[n+1]; int32 il[Ee], ol[Ee]; f32 w[Ee]; int32 dst[Ee]
+//   int32 eps_offsets[n+1];  int32 ol[En]; f32 w[En]; int32 dst[En]
+//   f32 final[n]
+//   int32 hub_src[H]; int32 hub_offsets[H+1]; int32 hub_packed[Eh*4]
+//   (if has_closure) int32 closure_offsets[n+1]; int32 closure_packed[Ec*4]
+uint8_t* compile_graph_native(const Fst& in, int max_degree,
+                              int hub_threshold, int build_closure,
+                              size_t* out_len) {
+  Fst g = in;
+  std::vector<int32_t> hub_src;
+  std::vector<std::vector<Arc>> hub_rows;
+  if (hub_threshold > 0) {
+    for (int64_t s = 0; s < g.num_states(); s++) {
+      int emit = 0;
+      for (auto& a : g.arcs[s]) emit += (a.il != kEps);
+      if (emit >= hub_threshold) {
+        hub_src.push_back((int32_t)s);
+        std::vector<Arc> keep, moved;
+        for (auto& a : g.arcs[s])
+          (a.il != kEps ? moved : keep).push_back(a);
+        hub_rows.push_back(std::move(moved));
+        g.arcs[s] = std::move(keep);
+      }
+    }
+  }
+  Fst capped = cap_degree(g, max_degree);
+  int64_t n = capped.num_states();
+
+  std::vector<std::vector<Arc>> emit_rows(n), eps_rows(n);
+  for (int64_t s = 0; s < n; s++)
+    for (auto& a : capped.arcs[s])
+      (a.il == kEps ? eps_rows : emit_rows)[s].push_back(a);
+
+  int64_t ee = 0, en = 0;
+  int max_e = 0, max_n = 0;
+  for (int64_t s = 0; s < n; s++) {
+    ee += (int64_t)emit_rows[s].size();
+    en += (int64_t)eps_rows[s].size();
+    max_e = std::max(max_e, (int)emit_rows[s].size());
+    max_n = std::max(max_n, (int)eps_rows[s].size());
+  }
+  int depth = fst_eps_depth(eps_rows, 64);
+
+  std::vector<std::vector<ClosureEnt>> closure;
+  int64_t ec = 0;
+  int max_c = 0;
+  if (build_closure) {
+    closure = eps_closure(eps_rows, &max_c);
+    for (auto& c : closure) ec += (int64_t)c.size();
+  }
+  int64_t eh = 0;
+  for (auto& r : hub_rows) eh += (int64_t)r.size();
+
+  CompiledBuf cb;
+  cb.buf.reserve(96 + (n + 1) * 8 + ee * 16 + en * 12 + n * 4 +
+                 hub_src.size() * 8 + eh * 16 + (build_closure ? (n + 1) * 4 + ec * 16 : 0));
+  int64_t hdr[12] = {n, capped.start, ee, en, (int64_t)hub_src.size(), eh,
+                     (int64_t)(build_closure != 0), ec,
+                     (int64_t)max_e, (int64_t)max_n, (int64_t)depth,
+                     (int64_t)max_c};
+  cb.put(hdr, 12);
+
+  auto put_csr = [&](const std::vector<std::vector<Arc>>& rows,
+                     bool with_il) {
+    std::vector<int32_t> offs(n + 1, 0);
+    for (int64_t s = 0; s < n; s++)
+      offs[s + 1] = offs[s] + (int32_t)rows[s].size();
+    cb.put(offs.data(), n + 1);
+    std::vector<int32_t> tmp;
+    int64_t e = offs[n];
+    if (with_il) {
+      tmp.clear(); tmp.reserve(e);
+      for (int64_t s = 0; s < n; s++)
+        for (auto& a : rows[s]) tmp.push_back(a.il);
+      cb.put(tmp.data(), e);
+    }
+    tmp.clear(); tmp.reserve(e);
+    for (int64_t s = 0; s < n; s++)
+      for (auto& a : rows[s]) tmp.push_back(a.ol);
+    cb.put(tmp.data(), e);
+    std::vector<float> tw; tw.reserve(e);
+    for (int64_t s = 0; s < n; s++)
+      for (auto& a : rows[s]) tw.push_back(a.w);
+    cb.put(tw.data(), e);
+    tmp.clear(); tmp.reserve(e);
+    for (int64_t s = 0; s < n; s++)
+      for (auto& a : rows[s]) tmp.push_back(a.dst);
+    cb.put(tmp.data(), e);
+  };
+  put_csr(emit_rows, true);
+  put_csr(eps_rows, false);
+
+  std::vector<float> fin(n, kInf);
+  for (auto& kv : capped.finals) fin[kv.first] = kv.second;
+  cb.put(fin.data(), n);
+
+  cb.put(hub_src.data(), hub_src.size());
+  std::vector<int32_t> hoffs(hub_src.size() + 1, 0);
+  for (size_t i = 0; i < hub_rows.size(); i++)
+    hoffs[i + 1] = hoffs[i] + (int32_t)hub_rows[i].size();
+  cb.put(hoffs.data(), hoffs.size());
+  std::vector<int32_t> hp;
+  hp.reserve(eh * 4);
+  for (auto& r : hub_rows)
+    for (auto& a : r) {
+      hp.push_back(a.il); hp.push_back(a.ol);
+      int32_t wb; memcpy(&wb, &a.w, 4);
+      hp.push_back(wb); hp.push_back(a.dst);
+    }
+  cb.put(hp.data(), hp.size());
+
+  if (build_closure) {
+    std::vector<int32_t> coffs(n + 1, 0);
+    for (int64_t s = 0; s < n; s++)
+      coffs[s + 1] = coffs[s] + (int32_t)closure[s].size();
+    cb.put(coffs.data(), n + 1);
+    std::vector<int32_t> cp;
+    cp.reserve(ec * 4);
+    for (int64_t s = 0; s < n; s++)
+      for (auto& e : closure[s]) {
+        cp.push_back(0); cp.push_back(e.ol);
+        int32_t wb; memcpy(&wb, &e.w, 4);
+        cp.push_back(wb); cp.push_back(e.dst);
+      }
+    cb.put(cp.data(), cp.size());
+  }
+
+  *out_len = cb.buf.size();
+  uint8_t* out = (uint8_t*)malloc(cb.buf.size());
+  memcpy(out, cb.buf.data(), cb.buf.size());
+  return out;
+}
+
 }  // namespace
 
 // ---------- C ABI ----------
@@ -594,5 +883,16 @@ int fstlib_run(int op, const uint8_t* in1, const uint8_t* in2,
 }
 
 void fstlib_free(uint8_t* p) { free(p); }
+
+// Degree-capped CSR + hubs + eps closure for the TPU decoder
+// (see compile_graph_native for the buffer layout).
+int fstlib_compile_graph(const uint8_t* in, int max_degree,
+                         int hub_threshold, int build_closure,
+                         uint8_t** out, size_t* out_len) {
+  if (max_degree < 2) return -1;
+  *out = compile_graph_native(unpack(in), max_degree, hub_threshold,
+                              build_closure, out_len);
+  return 0;
+}
 
 }  // extern "C"

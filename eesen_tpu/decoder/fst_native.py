@@ -70,6 +70,13 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         ]
         lib.fstlib_run.restype = ctypes.c_int
         lib.fstlib_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+        if hasattr(lib, "fstlib_compile_graph"):
+            lib.fstlib_compile_graph.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                ctypes.POINTER(ctypes.c_size_t),
+            ]
+            lib.fstlib_compile_graph.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -170,3 +177,72 @@ def determinize_star(f: pyfst.Fst, semiring: str = "tropical") -> pyfst.Fst:
 
 def minimize_encoded(f: pyfst.Fst) -> pyfst.Fst:
     return _run(7, f) if native_available() else pyfst.minimize_encoded(f)
+
+
+def compile_graph_available() -> bool:
+    lib = _get_lib()
+    return lib is not None and hasattr(lib, "fstlib_compile_graph")
+
+
+def compile_graph_native(
+    f: pyfst.Fst, max_degree: int, hub_threshold: int, build_closure: bool,
+):
+    """Native degree-cap/CSR/closure graph compilation.  Returns a
+    CompiledGraph identical to the pure-Python compile_graph (the two
+    implementations are kept in algorithmic lockstep; cross-checked by
+    tests/test_fst_native.py)."""
+    from eesen_tpu.decoder.graph_compile import CompiledGraph
+
+    lib = _get_lib()
+    assert lib is not None and hasattr(lib, "fstlib_compile_graph")
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    rc = lib.fstlib_compile_graph(
+        pack_fst(f), max_degree, hub_threshold, int(build_closure),
+        ctypes.byref(out), ctypes.byref(out_len),
+    )
+    if rc != 0:
+        raise RuntimeError(f"fstlib_compile_graph failed rc={rc}")
+    try:
+        buf = ctypes.string_at(out, out_len.value)
+    finally:
+        lib.fstlib_free(out)
+
+    hdr = np.frombuffer(buf, np.int64, 12)
+    (n, start, ee, en, h, eh, has_clo, ec,
+     max_e, max_n, depth, max_c) = (int(x) for x in hdr)
+    off = 96
+
+    def take(dtype, count):
+        nonlocal off
+        a = np.frombuffer(buf, dtype, count, off).copy()
+        off += count * 4
+        return a
+
+    emit_offsets = take(np.int32, n + 1)
+    emit_il = take(np.int32, ee)
+    emit_ol = take(np.int32, ee)
+    emit_w = take(np.float32, ee)
+    emit_dst = take(np.int32, ee)
+    eps_offsets = take(np.int32, n + 1)
+    eps_ol = take(np.int32, en)
+    eps_w = take(np.float32, en)
+    eps_dst = take(np.int32, en)
+    final = take(np.float32, n)
+    hub_src = take(np.int32, h)
+    hub_offsets = take(np.int32, h + 1)
+    hub_packed = take(np.int32, eh * 4).reshape(-1, 4)
+    g = CompiledGraph(
+        num_states=n, start=start,
+        emit_offsets=emit_offsets, emit_ilabel=emit_il, emit_olabel=emit_ol,
+        emit_weight=emit_w, emit_dst=emit_dst,
+        eps_offsets=eps_offsets, eps_olabel=eps_ol, eps_weight=eps_w,
+        eps_dst=eps_dst, final_weight=final,
+        max_emit_degree=max_e, max_eps_degree=max_n, eps_depth=depth,
+        hub_src=hub_src, hub_offsets=hub_offsets, hub_packed=hub_packed,
+    )
+    if has_clo:
+        g.closure_offsets = take(np.int32, n + 1)
+        g.closure_packed = take(np.int32, ec * 4).reshape(-1, 4)
+        g.max_closure_degree = max_c
+    return g

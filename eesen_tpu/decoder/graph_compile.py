@@ -231,32 +231,76 @@ def _eps_closure_tables(
 
     Returns per-state lists of (dst, weight, first_olabel) for every
     eps-reachable state (identity excluded), Viterbi-combined (min weight
-    per dst), and the max closure out-degree."""
-    # reverse-topological processing via repeated relaxation (depth-bounded)
-    closure: List[Dict[int, Tuple[float, int]]] = [dict() for _ in range(n)]
+    per dst), and the max closure out-degree.
+
+    Deterministic reverse-topological DP — kept in exact lockstep with the
+    native implementation (csrc/fstlib.cpp fstlib_compile_graph): same
+    visit order, same float-sum association, same tie rule (replace only
+    when strictly better by >1e-12), so both produce identical tables.
+    Falls back to bounded relaxation if the eps subgraph has a cycle
+    (cannot happen for a determinized TLG; guard only)."""
+    # Kahn topological order of the eps subgraph
+    indeg = np.zeros(n, dtype=np.int64)
     for s in range(n):
         for a in rows[s]:
-            old = closure[s].get(a.nextstate)
-            if old is None or a.weight < old[0]:
-                closure[s][a.nextstate] = (a.weight, a.olabel)
-    for _ in range(depth_cap):
-        changed = False
+            indeg[a.nextstate] += 1
+    order: List[int] = [s for s in range(n) if indeg[s] == 0]
+    head = 0
+    while head < len(order):
+        s = order[head]
+        head += 1
+        for a in rows[s]:
+            indeg[a.nextstate] -= 1
+            if indeg[a.nextstate] == 0:
+                order.append(a.nextstate)
+    closure: List[List[Tuple[int, float, int]]] = [[] for _ in range(n)]
+    if len(order) < n:   # eps cycle: bounded relaxation fallback
+        cmap: List[Dict[int, Tuple[float, int]]] = [dict() for _ in range(n)]
         for s in range(n):
-            items = list(closure[s].items())
-            for mid, (w1, o1) in items:
-                for dst, (w2, o2) in closure[mid].items():
-                    w = w1 + w2
-                    o = o1 if o1 else o2
-                    old = closure[s].get(dst)
-                    if old is None or w < old[0] - 1e-12:
-                        closure[s][dst] = (w, o)
-                        changed = True
-        if not changed:
-            break
-    out = [
-        sorted((dst, w, o) for dst, (w, o) in closure[s].items())
-        for s in range(n)
-    ]
+            for a in rows[s]:
+                old = cmap[s].get(a.nextstate)
+                if old is None or a.weight < old[0]:
+                    cmap[s][a.nextstate] = (a.weight, a.olabel)
+        for _ in range(depth_cap):
+            changed = False
+            for s in range(n):
+                items = list(cmap[s].items())
+                for mid, (w1, o1) in items:
+                    for dst, (w2, o2) in cmap[mid].items():
+                        w = w1 + w2
+                        o = o1 if o1 else o2
+                        old = cmap[s].get(dst)
+                        if old is None or w < old[0] - 1e-12:
+                            cmap[s][dst] = (w, o)
+                            changed = True
+            if not changed:
+                break
+        out = [
+            sorted((dst, w, o) for dst, (w, o) in cmap[s].items())
+            for s in range(n)
+        ]
+        max_deg = max((len(x) for x in out), default=0)
+        return out, max_deg
+
+    # reverse topo: every successor's closure is final before s
+    for s in reversed(order):
+        ent: List[Tuple[int, float, int]] = []
+        idx: Dict[int, int] = {}
+
+        def _relax(dst: int, w: float, o: int):
+            j = idx.get(dst)
+            if j is None:
+                idx[dst] = len(ent)
+                ent.append((dst, w, o))
+            elif w < ent[j][1] - 1e-12:
+                ent[j] = (dst, w, o)
+
+        for a in rows[s]:
+            _relax(a.nextstate, a.weight, a.olabel)
+            for dst2, w2, o2 in closure[a.nextstate]:
+                _relax(dst2, a.weight + w2, a.olabel if a.olabel else o2)
+        closure[s] = ent
+    out = [sorted(closure[s]) for s in range(n)]
     max_deg = max((len(x) for x in out), default=0)
     return out, max_deg
 
@@ -266,6 +310,7 @@ def compile_graph(
     max_degree: int = 16,
     hub_threshold: int = 0,
     build_closure: bool = False,
+    backend: str = "auto",
 ) -> CompiledGraph:
     """Compact a TLG Fst into CSR device tables with bounded out-degree.
 
@@ -274,7 +319,21 @@ def compile_graph(
     unconditionally every frame, no gather); this keeps high-fanout LM
     states out of the degree-capping aux trees.  build_closure=True also
     precomputes the epsilon transitive closure so the search runs ONE
-    closure expansion instead of eps-depth iterations."""
+    closure expansion instead of eps-depth iterations.
+
+    backend: "auto" uses the native C++ compiler (csrc/fstlib.cpp) when
+    available — required for LM-scale graphs (millions of arcs) — and
+    falls back to this module's pure-Python path; "python"/"native"
+    force one."""
+    if backend != "python":
+        from eesen_tpu.decoder import fst_native
+
+        if fst_native.compile_graph_available():
+            return fst_native.compile_graph_native(
+                fst, max_degree, hub_threshold, build_closure
+            )
+        if backend == "native":
+            raise RuntimeError("native graph compiler unavailable")
     hub_src: List[int] = []
     hub_rows: List[List[Arc]] = []
     if hub_threshold > 0:

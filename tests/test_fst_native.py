@@ -112,3 +112,70 @@ def test_native_full_tlg_build():
     assert c.num_states > 0
     _, ol, _ = shortest_path(c)
     assert [lang.words.sym(o) for o in ol] == ["ab", "ba"]
+
+
+# ---------------------------------------------------------------------------
+# native graph compilation (fstlib_compile_graph)
+# ---------------------------------------------------------------------------
+
+def _compiled_equal(a, b):
+    import numpy as np
+    assert a.num_states == b.num_states
+    assert a.start == b.start
+    assert a.max_emit_degree == b.max_emit_degree
+    assert a.max_eps_degree == b.max_eps_degree
+    assert a.eps_depth == b.eps_depth
+    assert a.max_closure_degree == b.max_closure_degree
+    for name in ("emit_offsets", "emit_ilabel", "emit_olabel", "emit_dst",
+                 "eps_offsets", "eps_olabel", "eps_dst", "hub_src",
+                 "hub_offsets"):
+        np.testing.assert_array_equal(
+            getattr(a, name), getattr(b, name), err_msg=name
+        )
+    for name in ("emit_weight", "eps_weight", "final_weight"):
+        np.testing.assert_allclose(
+            getattr(a, name), getattr(b, name), err_msg=name,
+            rtol=0, atol=0,
+        )
+    if a.hub_packed is not None or b.hub_packed is not None:
+        np.testing.assert_array_equal(a.hub_packed, b.hub_packed)
+    assert (a.closure_offsets is None) == (b.closure_offsets is None)
+    if a.closure_offsets is not None:
+        np.testing.assert_array_equal(a.closure_offsets, b.closure_offsets)
+        np.testing.assert_array_equal(a.closure_packed, b.closure_packed)
+
+
+@pytest.mark.parametrize("seed,max_degree,hub,closure", [
+    (0, 4, 0, False), (1, 3, 0, True), (2, 4, 3, True),
+    (3, 2, 0, True), (4, 8, 2, False), (5, 5, 4, True),
+])
+def test_native_compile_graph_matches_python(seed, max_degree, hub, closure):
+    from eesen_tpu.decoder.graph_compile import compile_graph
+
+    rng = random.Random(300 + seed)
+    f = random_acyclic_fst(rng)
+    if f.num_states == 0 or f.start is None:
+        return
+    py = compile_graph(f, max_degree=max_degree, hub_threshold=hub,
+                       build_closure=closure, backend="python")
+    cc = compile_graph(f, max_degree=max_degree, hub_threshold=hub,
+                       build_closure=closure, backend="native")
+    _compiled_equal(py, cc)
+
+
+def test_native_compile_graph_tlg():
+    """Native compilation of the real test TLG must be bit-identical to
+    Python's (same decode tables)."""
+    from eesen_tpu.decoder.arpa import arpa_to_fst
+    from eesen_tpu.decoder.ctc_graph import build_lg, build_tlg, compile_lang
+    from eesen_tpu.decoder.graph_compile import compile_graph
+    from tests.test_ctc_graph import ARPA, LEXICON, UNITS
+
+    lang = compile_lang(LEXICON, UNITS, dict_type="phn")
+    tlg = build_tlg(lang.t_fst,
+                    build_lg(lang.l_fst, arpa_to_fst(ARPA, lang.words)))
+    py = compile_graph(tlg, max_degree=8, hub_threshold=4,
+                       build_closure=True, backend="python")
+    cc = compile_graph(tlg, max_degree=8, hub_threshold=4,
+                       build_closure=True, backend="native")
+    _compiled_equal(py, cc)
