@@ -649,10 +649,38 @@ def _lstm_fused_fwd(x, mask, w_x, bias, w_m, ph, block_t, interpret):
     return m, (x, mask, gates, c, m, wx_bf, wm_bf, ph)
 
 
+def _bwd_vmem_bytes(bt: int, b: int, dp: int, hp: int) -> int:
+    """Rough VMEM footprint of the fused backward kernel (double-buffered
+    streamed blocks + resident weights/accumulators).  Used to shrink the
+    backward block_t so big-input layers (e.g. D = 2H stacked BiLSTM
+    inputs) stay under the ~16MB scoped-vmem limit."""
+    fourhp = 4 * hp
+    fixed = (
+        dp * fourhp * 4      # dwx_scr f32
+        + hp * fourhp * 4    # dwm_scr f32
+        + dp * fourhp * 2    # wx bf16
+        + hp * fourhp * 2    # wm bf16
+        + dp * fourhp * 4 + hp * fourhp * 4   # dwx/dwm outputs
+    )
+    per_block = (
+        bt * b * dp * 2      # x bf16
+        + bt * b * fourhp * 2  # gates bf16
+        + 3 * bt * b * hp * 4  # c, m, gm f32
+        + bt * b * dp * 2    # dx out bf16
+    )
+    scratch = bt * b * fourhp * 4   # dgifo_scr f32 (not double-buffered)
+    return fixed + 2 * per_block + scratch
+
+
 def _lstm_fused_bwd(block_t, interpret, res, gm):
     x, mask, gates, c, m, wx_bf, wm_bf, ph = res
+    t_max, b, dp = x.shape
+    hp = wm_bf.shape[0]
+    bt = block_t
+    while bt > 1 and _bwd_vmem_bytes(bt, b, dp, hp) > 13 * 2**20:
+        bt //= 2
     dx, dwx, dwm, db, dph = _fused_bwd_call(
-        x, mask, gates, c, m, gm, wx_bf, wm_bf, ph, block_t, interpret
+        x, mask, gates, c, m, gm, wx_bf, wm_bf, ph, bt, interpret
     )
     return (
         dx, None, dwx.astype(jnp.float32), db, dwm.astype(jnp.float32), dph

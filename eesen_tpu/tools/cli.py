@@ -236,7 +236,7 @@ def cmd_compute_pitch(args) -> int:
     """(= featbin/compute-kaldi-pitch-feats + process-kaldi-pitch-feats)"""
     import jax.numpy as jnp
     from eesen_tpu.frontend.pitch import (
-        PitchOptions, kaldi_pitch, process_pitch,
+        PitchOptions, ProcessPitchOptions, kaldi_pitch, process_pitch,
     )
     from eesen_tpu.io.wave import read_wav
 
@@ -244,6 +244,7 @@ def cmd_compute_pitch(args) -> int:
         samp_freq=args.sample_frequency,
         min_f0=args.min_f0, max_f0=args.max_f0,
     )
+    popts = ProcessPitchOptions()
     wav_scp = read_scp(args.wav_rspecifier.split(":", 1)[1]) \
         if args.wav_rspecifier.startswith("scp:") else None
     out_ark, out_scp = _wspec(args.feats_wspecifier)
@@ -260,7 +261,7 @@ def cmd_compute_pitch(args) -> int:
             else:
                 wave = np.asarray(src).reshape(-1)
             raw = kaldi_pitch(jnp.asarray(wave), opts)
-            yield key, np.asarray(process_pitch(raw, opts))
+            yield key, np.asarray(process_pitch(raw, popts))
 
     write_ark(out_ark, gen(), scp_path=out_scp)
     return 0
@@ -466,6 +467,61 @@ def cmd_latgen(args) -> int:
     if want_lats:
         from eesen_tpu.decoder.lattice_io import write_lattice_ark
         write_lattice_ark(args.lattice_ark, iter(lats), binary=args.binary)
+    return 0
+
+
+def cmd_decode_faster(args) -> int:
+    """Exact (beam-free) best-path decode via the dense trellis decoder
+    (= decoderbin/decode-faster.cc with an infinite beam; see
+    decoder/dense.py for why this is the TPU-native formulation)."""
+    import pickle
+    from eesen_tpu.decoder.ctc_graph import SymbolTable
+    from eesen_tpu.decoder.dense import (
+        DenseDeviceGraph, build_dense_graph, decode_dense,
+    )
+
+    with open(args.graph, "rb") as f:
+        graph = pickle.load(f)
+    assert graph.has_closure, (
+        "decode-faster needs a graph compiled with build_closure "
+        "(build-tlg default)"
+    )
+    words = SymbolTable.read(args.words) if args.words else None
+    dg = build_dense_graph(graph, in_degree=args.in_degree)
+    dev = DenseDeviceGraph.put(dg)
+
+    batch, keys = [], []
+    out_f = sys.stdout if args.out == "-" else open(args.out, "w")
+
+    def flush():
+        if not batch:
+            return
+        t_max = max(x.shape[0] for x in batch)
+        v = batch[0].shape[1]
+        arr = np.full((len(batch), t_max, v), -30.0, np.float32)
+        lens = np.zeros(len(batch), np.int32)
+        for i, x in enumerate(batch):
+            arr[i, : len(x)] = x
+            lens[i] = len(x)
+        for i, (wids, cost) in enumerate(
+            decode_dense(arr, lens, dg, dev, args.acoustic_scale)
+        ):
+            text = (
+                " ".join(words.sym(w) for w in wids) if words
+                else " ".join(map(str, wids))
+            )
+            out_f.write(f"{keys[i]} {text}\n")
+        batch.clear()
+        keys.clear()
+
+    for key, ll in read_rspecifier(args.loglikes_rspecifier):
+        batch.append(np.asarray(ll, np.float32))
+        keys.append(key)
+        if len(batch) >= args.batch_size:
+            flush()
+    flush()
+    if out_f is not sys.stdout:
+        out_f.close()
     return 0
 
 
@@ -938,6 +994,16 @@ def main(argv=None) -> int:
     p.add_argument("loglikes_rspecifier")
     p.add_argument("out")
     p.set_defaults(func=cmd_latgen)
+
+    p = sub.add_parser("decode-faster")
+    p.add_argument("--acoustic-scale", type=float, default=0.9)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--in-degree", type=int, default=16)
+    p.add_argument("--words", default="")
+    p.add_argument("graph")
+    p.add_argument("loglikes_rspecifier")
+    p.add_argument("out")
+    p.set_defaults(func=cmd_decode_faster)
 
     p = sub.add_parser("compute-wer")
     p.add_argument("--mode", default="present", choices=["present", "all"])

@@ -121,6 +121,19 @@ def test_cli_train_decode_score(tmp_path):
             f.write(f"{k} {' '.join(texts[k])}\n")
     assert main(["compute-wer", ref, hyp]) == 0
 
+    # dense (beam-free) decode must reproduce the wide-beam hypotheses
+    graph_clo = compile_graph(tlg, max_degree=8, build_closure=True)
+    gpath_clo = str(tmp_path / "tlg_clo.pkl")
+    with open(gpath_clo, "wb") as f:
+        pickle.dump(graph_clo, f)
+    hyp_d = str(tmp_path / "hyp_dense.txt")
+    assert main([
+        "decode-faster", "--acoustic-scale", "0.9", "--words", wpath,
+        gpath_clo, f"ark:{post}", hyp_d,
+    ]) == 0
+    hyps_d = {l.split()[0]: l.split()[1:] for l in open(hyp_d) if l.split()}
+    assert hyps_d == hyps
+
     # lattice tool chain: copy(binary->text) -> scale -> best-path,
     # which must reproduce the decode hypotheses at acwt 0.9
     lat_txt = str(tmp_path / "lat_text.ark")

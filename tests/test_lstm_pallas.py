@@ -143,3 +143,4 @@ def test_fused_multi_block_state_carry():
     m_a = np.asarray(run_fused(params, x, mask, block_t=3))
     m_b = np.asarray(run_fused(params, x, mask, block_t=12))
     np.testing.assert_allclose(m_a, m_b, rtol=1e-5, atol=1e-5)
+
