@@ -1,11 +1,27 @@
-"""Pitch extraction tests: known-frequency tones must be tracked."""
+"""Pitch extraction tests.
+
+The golden fixtures in tests/data/pitch_golden/golden.npz were produced by
+COMPILING AND RUNNING the reference's own extractor
+(src/feat/pitch-functions.cc ComputeKaldiPitch) against a shim CBLAS —
+see the generator recipe in the repo history / BENCH_NOTES.  Parity here
+is therefore against the reference binary's actual output, the same
+strategy as the reference's own feat tests
+(src/feat/feature-fbank-test.cc:32-62 golden-comparison pattern).
+"""
+
+import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from eesen_tpu.frontend.pitch import (
-    PitchOptions, compute_nccf, fbank_pitch, kaldi_pitch, process_pitch,
-    _lowpass_decimate,
+    PitchOptions, ProcessPitchOptions, fbank_pitch, kaldi_pitch,
+    linear_resample, process_pitch,
+)
+
+GOLDEN = os.path.join(
+    os.path.dirname(__file__), "data", "pitch_golden", "golden.npz"
 )
 
 
@@ -14,44 +30,84 @@ def tone(freq, dur_s=0.5, sr=16000, amp=8000.0):
     return (np.sin(2 * np.pi * freq * t) * amp).astype(np.float32)
 
 
-def test_resample():
-    w = tone(100, 0.2)
-    w4, fs = _lowpass_decimate(jnp.asarray(w), PitchOptions())
-    assert fs == 4000.0
-    assert abs(len(w4) - len(w) // 4) <= 1
-    # energy preserved for a 100 Hz tone (way below cutoff)
-    r = float(jnp.std(w4)) / np.std(w)
-    assert 0.8 < r < 1.2
+# ---------------------------------------------------------------------------
+# golden parity vs the reference binary's outputs
+# ---------------------------------------------------------------------------
 
+@pytest.mark.parametrize(
+    "name,tol_pitch,tol_nccf",
+    [
+        ("tone220", 1e-4, 1e-4),
+        ("vibrato", 1e-4, 1e-4),
+        ("noise", 1e-4, 1e-4),
+        # near-tie lag choices may differ by one grid step (0.5%) on a few
+        # frames of modulated speech-like input
+        ("speechish", 6e-3, 2e-3),
+        ("tone_8k", 1e-4, 1e-4),
+    ],
+)
+def test_pitch_matches_reference_golden(name, tol_pitch, tol_nccf):
+    data = np.load(GOLDEN)
+    wave = data[f"{name}_wave"]
+    sr = float(data[f"{name}_sr"])
+    gold = data[f"{name}_raw"]          # [F, 2] (nccf_pov, pitch_hz)
+    ours = np.asarray(kaldi_pitch(jnp.asarray(wave), PitchOptions(samp_freq=sr)))
+    assert ours.shape == gold.shape, (ours.shape, gold.shape)
+    rel = np.abs(ours[:, 1] - gold[:, 1]) / gold[:, 1]
+    assert rel.max() <= tol_pitch, (name, rel.max())
+    dn = np.abs(ours[:, 0] - gold[:, 0])
+    assert dn.max() <= tol_nccf, (name, dn.max())
+
+
+def test_resample_matches_reference_semantics():
+    """LinearResample output length for 1 s at 16 kHz -> 4 kHz is exactly
+    4000 (GetNumOutputSamples flush semantics), and a 100 Hz tone passes
+    unattenuated."""
+    w = tone(100, 1.0)
+    y = np.asarray(linear_resample(jnp.asarray(w), 16000, 4000, 1000.0, 1))
+    assert len(y) == 4000
+    # the reference's width-1 windowed sinc is leaky by design; our output
+    # matches it to 1e-4, and the absolute gain is ~0.81 for a 100 Hz tone
+    assert 0.75 < np.std(y) / np.std(w) < 1.1
+
+
+# ---------------------------------------------------------------------------
+# behavior
+# ---------------------------------------------------------------------------
 
 def test_pitch_tracks_tone():
     for freq in (120.0, 220.0, 330.0):
         w = tone(freq) + np.random.default_rng(0).standard_normal(8000) * 50
         raw = np.asarray(kaldi_pitch(jnp.asarray(w)))
         f0 = raw[:, 1]
-        # median tracked f0 within 10% of the truth
-        assert abs(np.median(f0) - freq) < 0.1 * freq, (freq, np.median(f0))
-        # strong voicing
+        assert abs(np.median(f0) - freq) < 0.05 * freq, (freq, np.median(f0))
         assert np.median(raw[:, 0]) > 0.7
 
 
 def test_pitch_follows_change():
-    w = np.concatenate([tone(150, 0.3), tone(300, 0.3)])
+    # 150 -> 220 Hz (NOT an octave: on an exact octave jump the reference
+    # itself stays on the sub-harmonic for continuity, and so do we)
+    w = np.concatenate([tone(150, 0.3), tone(220, 0.3)])
     raw = np.asarray(kaldi_pitch(jnp.asarray(w)))
     f0 = raw[:, 1]
     n = len(f0)
-    assert abs(np.median(f0[: n // 3]) - 150) < 25
-    assert abs(np.median(f0[-n // 3 :]) - 300) < 45
+    assert abs(np.median(f0[: n // 3]) - 150) < 15
+    assert abs(np.median(f0[-n // 3 :]) - 220) < 22
 
 
 def test_process_pitch_shape_and_norm():
     w = tone(200)
     raw = kaldi_pitch(jnp.asarray(w))
-    feats = np.asarray(process_pitch(raw))
+    feats = np.asarray(
+        process_pitch(raw, ProcessPitchOptions(delta_pitch_noise_stddev=0.0))
+    )
     assert feats.shape[1] == 3
-    # POV in [-1, 1]; normalized log pitch roughly centered
-    assert np.all(feats[:, 0] >= -1.0) and np.all(feats[:, 0] <= 1.0)
-    assert abs(np.average(feats[:, 1])) < 0.5
+    # pov_feature = 2*((1.0001-n)^0.15 - 1) in [-1.6, 0.23]
+    assert np.all(feats[:, 0] >= -1.6) and np.all(feats[:, 0] <= 0.3)
+    # normalized log pitch centered for a constant tone
+    assert np.abs(feats[:, 1]).max() < 0.1
+    # delta of a constant pitch ~ 0
+    assert np.abs(feats[:, 2]).max() < 0.2
 
 
 def test_fbank_pitch_dims():
