@@ -863,6 +863,9 @@ extern "C" {
 // ops: 1=connect 2=compose 3=rmepsilon(trop) 4=rmepsilon(log)
 //      5=determinize_star(trop) 6=determinize_star(log)
 //      7=minimize_encoded
+//      8=build_lg: arcsort_il(minimize(determinize_star_log(compose)))
+//        fused so multi-million-arc intermediates never cross the
+//        Python boundary (the LM-scale hot path)
 int fstlib_run(int op, const uint8_t* in1, const uint8_t* in2,
                uint8_t** out, size_t* out_len) {
   Fst result;
@@ -875,10 +878,36 @@ int fstlib_run(int op, const uint8_t* in1, const uint8_t* in2,
     case 5: result = determinize_star(unpack(in1), false, 50000000, &ok); break;
     case 6: result = determinize_star(unpack(in1), true, 50000000, &ok); break;
     case 7: result = minimize_encoded(unpack(in1)); break;
+    case 8: {
+      result = compose(unpack(in1), unpack(in2));
+      result = determinize_star(result, true, 50000000, &ok);
+      if (ok) {
+        result = minimize_encoded(result);
+        for (auto& arcs : result.arcs)
+          std::stable_sort(arcs.begin(), arcs.end(),
+                           [](const Arc& x, const Arc& y) {
+                             return x.il < y.il;
+                           });
+      }
+      break;
+    }
     default: return -1;
   }
   if (!ok) return -2;
   *out = pack(result, out_len);
+  return 0;
+}
+
+// TLG = T o LG composed AND compiled to device tables in one call —
+// the compiled-buffer layout of fstlib_compile_graph.
+int fstlib_build_tlg_compiled(const uint8_t* in_t, const uint8_t* in_lg,
+                              int max_degree, int hub_threshold,
+                              int build_closure,
+                              uint8_t** out, size_t* out_len) {
+  if (max_degree < 2) return -1;
+  Fst tlg = compose(unpack(in_t), unpack(in_lg));
+  *out = compile_graph_native(tlg, max_degree, hub_threshold,
+                              build_closure, out_len);
   return 0;
 }
 

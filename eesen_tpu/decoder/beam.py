@@ -256,10 +256,12 @@ def _append_olabel(olab: Array, new: Array, overflow: Array):
 
 
 def make_beam_decoder(
-    graph: CompiledGraph, cfg: BeamSearchConfig = BeamSearchConfig()
+    graph: CompiledGraph, cfg: BeamSearchConfig = BeamSearchConfig(),
+    _internals: bool = False,
 ):
     """Build a jitted decoder: fn(loglikes [B,T,V], lengths [B], dgraph)
-    -> BeamOutputs."""
+    -> BeamOutputs.  (_internals exposes the chunked entry points for
+    StreamingBeamDecoder.)"""
     k = cfg.max_active
     d_e = max(graph.max_emit_degree, 1)
     use_closure = graph.has_closure
@@ -352,9 +354,8 @@ def make_beam_decoder(
         )
         return carry
 
-    def decode(loglikes: Array, lengths: Array, dg: DeviceGraph) -> BeamOutputs:
-        dg_holder[0] = dg
-        b, t_max, v = loglikes.shape
+    def init_active_set(b: int):
+        """Start-state active set after the initial eps closure."""
         states0 = jnp.full((b, k), -1, jnp.int32).at[:, 0].set(start_state)
         scores0 = jnp.full((b, k), jnp.inf, jnp.float32).at[:, 0].set(0.0)
         offs0 = jnp.zeros((b, k, 4), jnp.int32).at[:, 0, :].set(
@@ -366,10 +367,13 @@ def make_beam_decoder(
         states0, scores0, offs0, _, init_olab, overflow0 = eps_phase(
             states0, scores0, offs0, parent0, olab0, overflow0
         )
+        return states0, scores0, offs0, overflow0, init_olab
 
+    def make_frame(dg: DeviceGraph, v: int):
         def frame(carry, inp):
             states, scores, offs, overflow = carry
-            ll_t, t = inp          # [B, V], scalar
+            ll_t, act = inp        # [B, V], [B] bool
+            b = states.shape[0]
             dst, pscore, il, ol, d_offs = _expand(
                 offs, scores, dg.emit_packed, d_e, which=0
             )
@@ -432,7 +436,7 @@ def make_beam_decoder(
             olab, overflow = _append_olabel(olab0_f, emit_ol, overflow)
             (n_states_, n_scores, n_offs, parent, olab, overflow
              ) = eps_phase(e_states, e_scores, e_offs, parent, olab, overflow)
-            active = (t < lengths)[:, None]
+            active = act[:, None]
             out_states = jnp.where(active, n_states_, states)
             out_scores = jnp.where(active, n_scores, scores)
             out_offs = jnp.where(active[..., None], n_offs, offs)
@@ -449,14 +453,111 @@ def make_beam_decoder(
                 out_states, out_scores, out_parent, out_olab, mask,
             )
 
+        return frame
+
+    def decode(loglikes: Array, lengths: Array, dg: DeviceGraph) -> BeamOutputs:
+        dg_holder[0] = dg
+        b, t_max, v = loglikes.shape
+        states0, scores0, offs0, overflow0, init_olab = init_active_set(b)
+        frame = make_frame(dg, v)
         ts = jnp.arange(t_max, dtype=jnp.int32)
+        act = ts[:, None] < lengths[None, :]           # [T, B]
         (_, _, _, overflow), (st, sc, par, ol, lm) = jax.lax.scan(
             frame, (states0, scores0, offs0, overflow0),
-            (jnp.moveaxis(loglikes, 1, 0), ts),
+            (jnp.moveaxis(loglikes, 1, 0), act),
         )
         return BeamOutputs(st, sc, par, ol, init_olab, overflow, lm)
 
+    def init_chunk(b: int, dg: DeviceGraph):
+        dg_holder[0] = dg
+        states0, scores0, offs0, overflow0, init_olab = init_active_set(b)
+        return (states0, scores0, offs0, overflow0), init_olab
+
+    def decode_chunk(carry, loglikes: Array, active: Array, dg: DeviceGraph):
+        """One chunk of a streaming decode: carry from init_chunk /
+        previous chunk, loglikes [B, Tc, V], active [B, Tc] bool."""
+        dg_holder[0] = dg
+        b, t_c, v = loglikes.shape
+        frame = make_frame(dg, v)
+        carry, (st, sc, par, ol, lm) = jax.lax.scan(
+            frame, carry,
+            (jnp.moveaxis(loglikes, 1, 0), jnp.moveaxis(active, 1, 0)),
+        )
+        return carry, (st, sc, par, ol, lm)
+
+    if _internals:
+        return init_chunk, decode_chunk
     return jax.jit(decode)
+
+
+class StreamingBeamDecoder:
+    """Chunked (online) WFST decoding with carried search state.
+
+    The reference ships only dead online-decoding code; this class makes
+    the batched TPU search streamable: the active set (states, scores,
+    arc offsets, overflow) is an explicit carry, so audio can be decoded
+    chunk-by-chunk with one fixed-shape compiled program and O(chunk)
+    latency.  Per-chunk outputs accumulate host-side; finish() runs the
+    same traceback as offline decoding (results are IDENTICAL to a
+    one-shot decode of the concatenated audio).
+
+        dec = StreamingBeamDecoder(graph, cfg)
+        st = dec.start(batch_size)
+        for chunk in chunks:             # [B, Tc, V] log-likes
+            st = dec.accept(st, chunk)   # optional active mask [B, Tc]
+        results = dec.finish(st)         # [(words, cost)] * B
+    """
+
+    def __init__(
+        self, graph: CompiledGraph, cfg: BeamSearchConfig = BeamSearchConfig()
+    ):
+        init_fn, chunk_fn = make_beam_decoder(graph, cfg, _internals=True)
+        self._init = init_fn
+        self._chunk = jax.jit(chunk_fn)
+        self.graph = graph
+        self.dg = DeviceGraph.put(graph)
+
+    def start(self, batch_size: int) -> dict:
+        carry, init_olab = self._init(batch_size, self.dg)
+        return {
+            "carry": carry, "init_olab": np.asarray(init_olab),
+            "st": [], "sc": [], "par": [], "ol": [], "lm": [],
+            "batch": batch_size, "tframes": 0,
+        }
+
+    def accept(self, state: dict, loglikes, active=None) -> dict:
+        b, t_c, _ = loglikes.shape
+        if active is None:
+            active = jnp.ones((b, t_c), bool)
+        else:
+            active = jnp.asarray(active, bool)
+        carry, (st, sc, par, ol, lm) = self._chunk(
+            state["carry"], jnp.asarray(loglikes), active, self.dg
+        )
+        state["carry"] = carry
+        state["st"].append(np.asarray(st))
+        state["sc"].append(np.asarray(sc))
+        state["par"].append(np.asarray(par))
+        state["ol"].append(np.asarray(ol))
+        state["lm"].append(np.asarray(lm))
+        state["tframes"] += t_c
+        return state
+
+    def finish(self, state: dict) -> List[Tuple[List[int], float]]:
+        out = BeamOutputs(
+            states=np.concatenate(state["st"]),
+            scores=np.concatenate(state["sc"]),
+            parent=np.concatenate(state["par"]),
+            olabels=np.concatenate(state["ol"]),
+            init_olabels=state["init_olab"],
+            overflow=np.asarray(state["carry"][3]),
+            lat_mask=np.concatenate(state["lm"]),
+        )
+        # inactive frames were stored as identity passthroughs (frozen
+        # state, identity parent, no olabels), so tracing back from the
+        # very last stored frame is exact for every row
+        lengths = np.full(state["batch"], state["tframes"], np.int64)
+        return traceback(out, lengths, self.graph.final_weight)
 
 
 def make_sharded_beam_decoder(

@@ -253,10 +253,14 @@ def _add_lexicon_paths(
 def build_lg(l_fst: Fst, g_fst: Fst) -> Fst:
     """LG = fstminimizeencoded(fstdeterminizestar --use-log(L o G)).
 
-    Dispatches to the native C++ ops (decoder/fst_native) when the
-    toolchain is available, falling back to the pure-Python algorithms."""
+    Dispatches to the fused native pipeline (ONE C++ call, no
+    multi-million-arc Python round trips) when available, falling back to
+    op-by-op native calls and then the pure-Python algorithms."""
     from eesen_tpu.decoder import fst_native as fnat
 
+    fused = fnat.build_lg_fused(l_fst, g_fst)
+    if fused is not None:
+        return fused
     lg = fnat.compose(l_fst, g_fst)
     lg = fnat.determinize_star(lg, semiring="log")
     lg = fnat.minimize_encoded(lg)
@@ -268,6 +272,27 @@ def build_tlg(t_fst: Fst, lg: Fst) -> Fst:
     from eesen_tpu.decoder import fst_native as fnat
 
     return fnat.compose(t_fst, lg)
+
+
+def build_tlg_compiled(
+    t_fst: Fst, lg: Fst,
+    max_degree: int = 16, hub_threshold: int = 0,
+    build_closure: bool = True,
+):
+    """T o LG composed and compiled to device tables in one native call
+    (the TLG never materializes as a Python Fst — the LM-scale path).
+    Falls back to build_tlg + compile_graph."""
+    from eesen_tpu.decoder import fst_native as fnat
+    from eesen_tpu.decoder.graph_compile import compile_graph
+
+    if fnat.build_tlg_compiled_available():
+        return fnat.build_tlg_compiled(
+            t_fst, lg, max_degree, hub_threshold, build_closure
+        )
+    return compile_graph(
+        build_tlg(t_fst, lg), max_degree=max_degree,
+        hub_threshold=hub_threshold, build_closure=build_closure,
+    )
 
 
 @dataclasses.dataclass

@@ -179,9 +179,58 @@ def minimize_encoded(f: pyfst.Fst) -> pyfst.Fst:
     return _run(7, f) if native_available() else pyfst.minimize_encoded(f)
 
 
+def build_lg_fused(l: pyfst.Fst, g: pyfst.Fst) -> Optional[pyfst.Fst]:
+    """arcsort_il(minimize(determinize_star_log(compose(L, G)))) in ONE
+    native call (multi-million-arc intermediates never cross the Python
+    boundary).  Returns None when the native library is unavailable."""
+    if not native_available():
+        return None
+    try:
+        return _run(8, l, g)
+    except RuntimeError:
+        return None  # older library without op 8 / det failure: caller
+        #              falls back to the step-by-step path
+
+
 def compile_graph_available() -> bool:
     lib = _get_lib()
     return lib is not None and hasattr(lib, "fstlib_compile_graph")
+
+
+def build_tlg_compiled_available() -> bool:
+    lib = _get_lib()
+    return lib is not None and hasattr(lib, "fstlib_build_tlg_compiled")
+
+
+def build_tlg_compiled(
+    t: pyfst.Fst, lg: pyfst.Fst,
+    max_degree: int, hub_threshold: int, build_closure: bool,
+):
+    """compose(T, LG) + degree-cap/CSR/closure compilation in one native
+    call, returning a CompiledGraph without materializing the TLG as a
+    Python Fst."""
+    lib = _get_lib()
+    assert lib is not None and hasattr(lib, "fstlib_build_tlg_compiled")
+    lib.fstlib_build_tlg_compiled.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.fstlib_build_tlg_compiled.restype = ctypes.c_int
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    rc = lib.fstlib_build_tlg_compiled(
+        pack_fst(t), pack_fst(lg), max_degree, hub_threshold,
+        int(build_closure), ctypes.byref(out), ctypes.byref(out_len),
+    )
+    if rc != 0:
+        raise RuntimeError(f"fstlib_build_tlg_compiled failed rc={rc}")
+    try:
+        buf = ctypes.string_at(out, out_len.value)
+    finally:
+        lib.fstlib_free(out)
+    return _parse_compiled(buf)
 
 
 def compile_graph_native(
@@ -207,6 +256,12 @@ def compile_graph_native(
         buf = ctypes.string_at(out, out_len.value)
     finally:
         lib.fstlib_free(out)
+    return _parse_compiled(buf)
+
+
+def _parse_compiled(buf: bytes):
+    """Decode the fstlib compiled-graph buffer into a CompiledGraph."""
+    from eesen_tpu.decoder.graph_compile import CompiledGraph
 
     hdr = np.frombuffer(buf, np.int64, 12)
     (n, start, ee, en, h, eh, has_clo, ec,

@@ -100,16 +100,19 @@ class RecipeRun:
         """wav.scp -> pipeline features, with per-speaker CMVN."""
         raw: Dict[str, np.ndarray] = {}
         fb = jax.jit(lambda w: fbank(w, self.cfg.fbank))
+        fbd = jax.jit(lambda w, r: fbank(w, self.cfg.fbank, dither_rng=r))
         rng = (
             jax.random.PRNGKey(dither_seed) if dither_seed is not None
             else None
         )
         # pad waves to shape buckets so the TPU compiles few programs
-        lens = {k: None for k in data.wav_scp}
         waves = {}
         for k, src in data.wav_scp.items():
-            w, sr = read_wav(src)
-            waves[k] = w[0]
+            if isinstance(src, np.ndarray):   # in-memory corpora
+                waves[k] = src
+            else:
+                w, sr = read_wav(src)
+                waves[k] = w[0]
         if not waves:
             return {}
         max_n = max(len(w) for w in waves.values())
@@ -120,9 +123,7 @@ class RecipeRun:
             wp[: len(w)] = w
             if rng is not None and self.cfg.fbank.frame_opts.dither != 0.0:
                 rng, sub = jax.random.split(rng)
-                out = np.asarray(
-                    fbank(jnp.asarray(wp), self.cfg.fbank, dither_rng=sub)
-                )
+                out = np.asarray(fbd(jnp.asarray(wp), sub))
             else:
                 out = np.asarray(fb(jnp.asarray(wp)))
             raw[k] = out[:nf]
@@ -204,12 +205,13 @@ class RecipeRun:
             with open(path, "rb") as f:
                 self.graph = pickle.load(f)
             return self.graph
+        from eesen_tpu.decoder.ctc_graph import build_lg, build_tlg_compiled
+
         g = arpa_to_fst(arpa_path_or_text, self.lang.words)
-        lg = fnat.compose(self.lang.l_fst, g)
-        lg = fnat.determinize_star(lg, "log")
-        lg = fnat.minimize_encoded(lg)
-        tlg = build_tlg(self.lang.t_fst, arcsort(lg, "ilabel"))
-        self.graph = compile_graph(tlg, build_closure=True)
+        lg = build_lg(self.lang.l_fst, g)
+        self.graph = build_tlg_compiled(
+            self.lang.t_fst, lg, build_closure=True
+        )
         with open(path, "wb") as f:
             pickle.dump(self.graph, f)
         return self.graph

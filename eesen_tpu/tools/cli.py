@@ -322,21 +322,18 @@ def cmd_build_tlg(args) -> int:
     from eesen_tpu.decoder.ctc_graph import build_tlg
     from eesen_tpu.decoder.graph_compile import compile_graph
 
+    from eesen_tpu.decoder.ctc_graph import build_lg, build_tlg_compiled
+
     with open(os.path.join(args.lang_dir, "lang.pkl"), "rb") as f:
         lang = pickle.load(f)
     g = arpa_to_fst(args.arpa, lang.words)
     log.info("G: %d states %d arcs", g.num_states, g.num_arcs)
-    lg = fnat.compose(lang.l_fst, g)
-    log.info("LG composed: %d states %d arcs", lg.num_states, lg.num_arcs)
-    lg = fnat.determinize_star(lg, "log")
-    lg = fnat.minimize_encoded(lg)
-    lg = arcsort(lg, "ilabel")
+    lg = build_lg(lang.l_fst, g)
     log.info("LG det+min: %d states %d arcs", lg.num_states, lg.num_arcs)
-    tlg = build_tlg(lang.t_fst, lg)
-    log.info("TLG: %d states %d arcs", tlg.num_states, tlg.num_arcs)
-    compiled = compile_graph(
-        tlg, max_degree=args.max_degree, build_closure=True
+    compiled = build_tlg_compiled(
+        lang.t_fst, lg, max_degree=args.max_degree, build_closure=True
     )
+    log.info("TLG compiled: %d states", compiled.num_states)
     with open(args.out, "wb") as f:
         pickle.dump(compiled, f)
     log.info("wrote compiled graph %s", args.out)

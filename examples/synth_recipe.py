@@ -1,0 +1,151 @@
+"""Flagship end-to-end run on the synthetic formant corpus.
+
+The closest available stand-in for a real-corpus recipe (no LDC/OpenSLR
+data can ship with this repo): 500-word vocabulary, 20 speakers, Zipf
+word distribution, ~1 h of training audio — through the FULL pipeline:
+wav -> fbank+CMVN+deltas -> 4x320 BiLSTM-CTC (the WSJ flagship config)
+-> bigram LM estimated from the training text -> TLG -> batched beam
+decode ONCE -> acwt sweep by lattice rescaling -> WER -> RESULTS.md.
+
+Usage: python examples/synth_recipe.py [workdir] [--utts N] [--eval N]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from eesen_tpu.decoder.beam import BeamSearchConfig
+from eesen_tpu.frontend.features import FbankOptions, FrameOptions, MelOptions
+from eesen_tpu.frontend.pipeline import FeaturePipelineConfig
+from eesen_tpu.models.model import AcousticModelConfig
+from eesen_tpu.recipes.config import RecipeConfig
+from eesen_tpu.recipes.lm import estimate_bigram_arpa
+from eesen_tpu.recipes.run import RecipeRun
+from eesen_tpu.recipes.synth_corpus import (
+    SynthConfig, generate_corpus, make_lexicon, make_phones,
+)
+from eesen_tpu.training.batching import BatchConfig
+from eesen_tpu.training.optim import OptimizerConfig
+from eesen_tpu.training.schedule import NewbobConfig
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir", nargs="?", default="/tmp/synth_recipe")
+    ap.add_argument("--utts", type=int, default=800)
+    ap.add_argument("--cv", type=int, default=64)
+    ap.add_argument("--eval", type=int, default=100)
+    ap.add_argument("--epochs-repeat", type=int, default=2)
+    args = ap.parse_args()
+    os.makedirs(args.workdir, exist_ok=True)
+
+    t_all = time.time()
+    scfg = SynthConfig()
+    rng = np.random.default_rng(scfg.seed)
+    phones_tbl = make_phones(scfg, rng)
+    lexicon = make_lexicon(scfg, rng)
+    units = [f"p{i:02d}" for i in range(scfg.num_phones)]
+
+    t0 = time.time()
+    tr_waves, tr_texts, tr_spk = generate_corpus(
+        scfg, args.utts, split_seed=1, lexicon=lexicon, phones_tbl=phones_tbl)
+    cv_waves, cv_texts, cv_spk = generate_corpus(
+        scfg, args.cv, split_seed=2, lexicon=lexicon, phones_tbl=phones_tbl)
+    ev_waves, ev_texts, ev_spk = generate_corpus(
+        scfg, args.eval, split_seed=3, lexicon=lexicon, phones_tbl=phones_tbl)
+    hours = sum(len(w) for w in tr_waves.values()) / 16000 / 3600
+    print(f"synthesized {args.utts} train utts ({hours:.2f} h) "
+          f"in {time.time()-t0:.0f}s", flush=True)
+
+    cfg = RecipeConfig(
+        name="synth500", dict_type="phn",
+        fbank=FbankOptions(
+            frame_opts=FrameOptions(dither=1.0),
+            mel_opts=MelOptions(num_bins=40),
+        ),
+        pipeline=FeaturePipelineConfig(norm_vars=True, delta_order=2),
+        model=AcousticModelConfig(
+            input_dim=120, cell_dim=320, num_layers=4, num_targets=-1,
+        ),
+        optimizer=OptimizerConfig(algorithm="adagrad", max_grad=50.0),
+        newbob=NewbobConfig(learn_rate=0.05, max_iters=12, min_iters=6),
+        batch=BatchConfig(num_sequence=16, frame_limit=25000, time_quant=256),
+        decode=BeamSearchConfig(beam=17.0, max_active=512, funnel_mult=2,
+                                acoustic_scale=0.9, lattice_beam=8.0),
+    )
+    lex_full = lexicon + [("<UNK>", (units[0],))]
+    run = RecipeRun(cfg, os.path.join(args.workdir, "exp"), lex_full, units)
+    run.build_lang()
+
+    # features straight from in-memory waves via a DataDir-like shim
+    class MemData:
+        def __init__(self, waves, texts, utt2spk):
+            self.wav_scp = {k: w for k, w in waves.items()}
+            self.text = texts
+            self.utt2spk = utt2spk
+    import eesen_tpu.recipes.run as rr
+
+    def feats_for(waves, texts, spk):
+        d = MemData(waves, texts, spk)
+        return run.compute_features(d), run.prep_labels(d)
+
+    t0 = time.time()
+    tr_f, tr_l = feats_for(tr_waves, tr_texts, tr_spk)
+    cv_f, cv_l = feats_for(cv_waves, cv_texts, cv_spk)
+    ev_f, _ = feats_for(ev_waves, ev_texts, ev_spk)
+    print(f"features in {time.time()-t0:.0f}s", flush=True)
+
+    t0 = time.time()
+    hist = run.train(tr_f, tr_l, cv_f, cv_l,
+                     epochs_batches_repeat=args.epochs_repeat)
+    print(f"train in {time.time()-t0:.0f}s", flush=True)
+    for e in sorted(hist):
+        print(f"  epoch {e}: train {hist[e]['train_acc']:.2f}% "
+              f"cv {hist[e]['cv_acc']:.2f}%", flush=True)
+
+    # LM from TRAINING transcripts only (real-recipe style)
+    arpa = estimate_bigram_arpa(list(tr_texts.values()),
+                                vocab=[w for w, _ in lexicon])
+    t0 = time.time()
+    run.build_graph(arpa)
+    print(f"graph in {time.time()-t0:.0f}s: {run.graph.num_states} states, "
+          f"{run.graph.num_emit_arcs + run.graph.num_eps_arcs} arcs", flush=True)
+
+    refs = {k: ev_texts[k] for k in ev_f}
+    t0 = time.time()
+    sweep = run.score_sweep(ev_f, refs)
+    dt = time.time() - t0
+    best_acwt, best = min(sweep.items(), key=lambda kv: kv[1].wer)
+    print(f"decode+sweep in {dt:.0f}s", flush=True)
+    for acwt in sorted(sweep):
+        print(f"  acwt {acwt}: {sweep[acwt].report()}", flush=True)
+    eval_audio_s = sum(len(w) for w in ev_waves.values()) / 16000
+
+    res = {
+        "corpus": dataclasses.asdict(scfg),
+        "train_utts": args.utts, "train_hours": round(hours, 2),
+        "eval_utts": args.eval,
+        "final_cv_acc": hist[max(hist)]["cv_acc"],
+        "best_acwt": best_acwt,
+        "wer": best.wer,
+        "wer_report": best.report(),
+        "decode_sweep_s": round(dt, 1),
+        "eval_audio_s": round(eval_audio_s, 1),
+        "total_s": round(time.time() - t_all, 1),
+    }
+    with open(os.path.join(args.workdir, "results.json"), "w") as f:
+        json.dump(res, f, indent=2)
+    print("RESULT", json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -249,3 +249,41 @@ def test_sharded_beam_matches_single(tlg):
     for (w1, c1), (w2, c2) in zip(r_single, r_sharded):
         assert w1 == w2
         np.testing.assert_allclose(c1, c2, rtol=1e-5, atol=1e-5)
+
+def test_streaming_matches_offline(tlg):
+    """Chunked streaming decode must produce results identical to the
+    one-shot decode of the whole utterance."""
+    from eesen_tpu.decoder.beam import StreamingBeamDecoder
+
+    lang, fst = tlg
+    rng = np.random.default_rng(31)
+    seqs = [
+        ["a", "<blk>", "b", "<blk>", "b", "a"],
+        ["a", "a", "b", "c", "<blk>", "b"],
+    ]
+    lls = [synth_loglikes(rng, lang, s, t_per=2, noise=1.0) for s in seqs]
+    t_max = max(len(x) for x in lls)
+    batch = np.full((2, t_max, lls[0].shape[1]), -30.0, np.float32)
+    lengths = np.asarray([len(x) for x in lls], np.int32)
+    for i, x in enumerate(lls):
+        batch[i, : len(x)] = x
+
+    g = compile_graph(fst, max_degree=8, build_closure=True)
+    cfg = BeamSearchConfig(beam=1e9, max_active=256, acoustic_scale=0.9)
+    offline = make_beam_decoder(g, cfg)(
+        jnp.asarray(batch), jnp.asarray(lengths), DeviceGraph.put(g)
+    )
+    ref = traceback(offline, lengths, g.final_weight)
+
+    dec = StreamingBeamDecoder(g, cfg)
+    st = dec.start(2)
+    chunk = 5
+    for t0 in range(0, t_max, chunk):
+        ll_c = batch[:, t0 : t0 + chunk]
+        act = (np.arange(t0, t0 + ll_c.shape[1])[None, :]
+               < lengths[:, None])
+        st = dec.accept(st, ll_c, act)
+    res = dec.finish(st)
+    for (w1, c1), (w2, c2) in zip(ref, res):
+        assert w1 == w2, (w1, w2)
+        np.testing.assert_allclose(c1, c2, rtol=1e-5, atol=1e-4)

@@ -179,3 +179,48 @@ def test_native_compile_graph_tlg():
     cc = compile_graph(tlg, max_degree=8, hub_threshold=4,
                        build_closure=True, backend="native")
     _compiled_equal(py, cc)
+
+
+def test_fused_build_lg_matches_stepwise():
+    from eesen_tpu.decoder.arpa import arpa_to_fst
+    from eesen_tpu.decoder.ctc_graph import build_tlg, compile_lang
+    from eesen_tpu.decoder.fst import arcsort, connect, compose, shortest_path
+    from tests.test_ctc_graph import ARPA, LEXICON, UNITS, frames_fst
+
+    lang = compile_lang(LEXICON, UNITS, dict_type="phn")
+    g = arpa_to_fst(ARPA, lang.words)
+    fused = nat.build_lg_fused(lang.l_fst, g)
+    assert fused is not None
+    step = arcsort(
+        nat.minimize_encoded(
+            nat.determinize_star(nat.compose(lang.l_fst, g), "log")
+        ),
+        "ilabel",
+    )
+    assert fused.num_states == step.num_states
+    assert fused.num_arcs == step.num_arcs
+    # LG is cyclic (LM loops): verify by decoding through both TLGs
+    frames = ["a", "a", "<blk>", "b", "b", "<blk>", "b", "a"]
+    f = frames_fst(lang.tokens, frames)
+    for lg in (fused, step):
+        c = connect(compose(f, build_tlg(lang.t_fst, lg)))
+        _, ol, w = shortest_path(c)
+        assert [lang.words.sym(o) for o in ol] == ["ab", "ba"]
+
+
+def test_build_tlg_compiled_matches_separate():
+    from eesen_tpu.decoder.arpa import arpa_to_fst
+    from eesen_tpu.decoder.ctc_graph import (
+        build_lg, build_tlg, build_tlg_compiled, compile_lang,
+    )
+    from eesen_tpu.decoder.graph_compile import compile_graph
+    from tests.test_ctc_graph import ARPA, LEXICON, UNITS
+    from tests.test_fst_native import _compiled_equal  # self-import ok
+
+    lang = compile_lang(LEXICON, UNITS, dict_type="phn")
+    lg = build_lg(lang.l_fst, arpa_to_fst(ARPA, lang.words))
+    fused = build_tlg_compiled(lang.t_fst, lg, max_degree=8,
+                               hub_threshold=4, build_closure=True)
+    sep = compile_graph(build_tlg(lang.t_fst, lg), max_degree=8,
+                        hub_threshold=4, build_closure=True)
+    _compiled_equal(fused, sep)
