@@ -82,6 +82,13 @@ class BeamSearchConfig:
     # still runs after the closure phase): a max_active-style
     # approximation that removes one sort-heavy dedup per frame
     light_emit_dedup: bool = False
+    # fused Pallas recombination kernel (ops/beam_pallas.py): beam
+    # threshold + dedup + top-k as in-register bitonic networks in ONE
+    # kernel instead of ~8 XLA ops.  "auto" uses it on TPU whenever the
+    # proposal width fits the kernel cap; "always"/"never" force;
+    # "interpret" runs the kernel in interpreter mode (CPU tests).
+    # Exact — funnel_mult / approx_top_k are ignored on this path.
+    pallas_dedup: str = "auto"
 
 
 class DeviceGraph(NamedTuple):
@@ -283,6 +290,22 @@ def make_beam_decoder(
     funnel = cfg.funnel_mult * k if cfg.funnel_mult > 0 else 0
     L = max(cfg.max_olabels, 1)
     lat_beam = cfg.lattice_beam
+    pmode = cfg.pallas_dedup
+
+    def _dedup(dst: Array, score: Array):
+        """Recombine+prune dispatch: fused Pallas kernel when enabled and
+        the proposal width fits, else the XLA sort path."""
+        from eesen_tpu.ops import beam_pallas
+        m = dst.shape[1]
+        fits = beam_pallas._next_pow2(m) <= beam_pallas.MAX_LANES
+        use = pmode in ("always", "interpret") or (
+            pmode == "auto" and fits and jax.default_backend() == "tpu"
+        )
+        if use:
+            return beam_pallas.dedup_prune(
+                dst, score, k, beam, interpret=(pmode == "interpret")
+            )
+        return _dedup_and_prune(dst, score, k, beam, approx, funnel)
 
     def _x_step(carry_in, do_full_dedup):
         """One eps/closure expansion merged with the carried set."""
@@ -307,9 +330,7 @@ def make_beam_decoder(
         all_olab = jnp.concatenate([olab, exp_olab], axis=1)
         all_offs = jnp.concatenate([offs, d_offs], axis=1)
         if do_full_dedup:
-            new_states, new_scores, top_idx = _dedup_and_prune(
-                all_dst, all_score, k, beam, approx, funnel
-            )
+            new_states, new_scores, top_idx = _dedup(all_dst, all_score)
         else:
             new_states, new_scores, top_idx = _topk_prune(
                 all_dst, all_score, k
@@ -423,9 +444,7 @@ def make_beam_decoder(
             if light_emit:
                 e_states, e_scores, e_idx = _topk_prune(dst, pscore, k)
             else:
-                e_states, e_scores, e_idx = _dedup_and_prune(
-                    dst, pscore, k, beam, approx, funnel
-                )
+                e_states, e_scores, e_idx = _dedup(dst, pscore)
             parent = jnp.take_along_axis(parent_e, e_idx, axis=1)
             e_offs = jnp.take_along_axis(d_offs, e_idx[..., None], axis=1)
             olab0_f = jnp.zeros((b, k, L), jnp.int32)
