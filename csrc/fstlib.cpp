@@ -251,7 +251,7 @@ Fst compose(const Fst& a, const Fst& b) {
 
 // ---------- rm_epsilon ----------
 
-Fst rm_epsilon(const Fst& f, bool log_semiring) {
+Fst rm_epsilon(const Fst& f, bool log_semiring, bool* ok) {
   auto plus = log_semiring ? log_plus : trop_plus;
   int64_t n = f.num_states();
   Fst out;
@@ -263,7 +263,9 @@ Fst rm_epsilon(const Fst& f, bool log_semiring) {
     std::vector<int32_t> work{(int32_t)s};
     int64_t iters = 0;
     while (!work.empty()) {
-      if (++iters > 100 * n + 100) { /* eps cycle: bail */ break; }
+      // non-convergent eps cycle: report, don't silently truncate
+      // (the Python fallback raises here — fst.py rm_epsilon)
+      if (++iters > 100 * n + 100) { *ok = false; break; }
       int32_t q = work.back(); work.pop_back();
       for (auto& a : f.arcs[q]) {
         if (a.il == kEps && a.ol == kEps) {
@@ -338,6 +340,7 @@ void emit_chain(Fst& out, int32_t src, int32_t dst, int32_t il,
 Fst determinize_star(const Fst& f, bool log_semiring,
                      int64_t max_states, bool* ok) {
   *ok = true;
+  if (f.start < 0 || f.num_states() == 0) return Fst{};  // empty input
   auto plus = log_semiring ? log_plus : trop_plus;
 
   struct PairHash {
@@ -369,6 +372,14 @@ Fst determinize_star(const Fst& f, bool log_semiring,
           ne.w = nw + a.w;
           ne.str = e.str;
           if (a.ol != kEps) ne.str.push_back(a.ol);
+          // a simple eps path emits at most num_states() outputs; a
+          // longer string means an eps cycle with output — the input is
+          // not determinizable (Kaldi's DeterminizeStar throws here);
+          // fail fast instead of growing (state, string) keys forever
+          if ((int64_t)ne.str.size() > f.num_states()) {
+            *ok = false;
+            return std::vector<Element>{};
+          }
           work.push_back(std::move(ne));
         }
       }
@@ -380,7 +391,8 @@ Fst determinize_star(const Fst& f, bool log_semiring,
       e.state = key.first;
       e.w = w;
       e.str.resize(key.second.size() / 4);
-      memcpy(e.str.data(), key.second.data(), key.second.size());
+      if (!key.second.empty())
+        memcpy(e.str.data(), key.second.data(), key.second.size());
       outv.push_back(std::move(e));
     }
     return outv;
@@ -873,8 +885,8 @@ int fstlib_run(int op, const uint8_t* in1, const uint8_t* in2,
   switch (op) {
     case 1: result = connect(unpack(in1)); break;
     case 2: result = compose(unpack(in1), unpack(in2)); break;
-    case 3: result = rm_epsilon(unpack(in1), false); break;
-    case 4: result = rm_epsilon(unpack(in1), true); break;
+    case 3: result = rm_epsilon(unpack(in1), false, &ok); break;
+    case 4: result = rm_epsilon(unpack(in1), true, &ok); break;
     case 5: result = determinize_star(unpack(in1), false, 50000000, &ok); break;
     case 6: result = determinize_star(unpack(in1), true, 50000000, &ok); break;
     case 7: result = minimize_encoded(unpack(in1)); break;

@@ -224,3 +224,33 @@ def test_build_tlg_compiled_matches_separate():
     sep = compile_graph(build_tlg(lang.t_fst, lg), max_degree=8,
                         hub_threshold=4, build_closure=True)
     _compiled_equal(fused, sep)
+
+
+def test_asan_property_suite():
+    """Build csrc/fstlib_test.cpp with ASan+UBSan and run it — the
+    native-code memory-safety gate (the reference's `make valgrind`,
+    reference: src/Makefile:86-93).  Exercises every C-ABI entry point
+    on randomized + adversarial FSTs, including the eps-cycle-with-
+    output and empty-composition inputs that once crashed."""
+    import os
+    import subprocess
+    import tempfile
+
+    src = os.path.join(os.path.dirname(nat._SRC), "fstlib_test.cpp")
+    with tempfile.TemporaryDirectory() as d:
+        exe = os.path.join(d, "fstlib_test")
+        try:
+            subprocess.run(
+                ["g++", "-g", "-O1", "-std=c++17",
+                 "-fsanitize=address,undefined",
+                 "-I", os.path.dirname(nat._SRC), src, "-o", exe],
+                check=True, capture_output=True, timeout=300,
+            )
+        except (OSError, subprocess.CalledProcessError) as e:
+            pytest.skip(f"sanitizer toolchain unavailable: {e}")
+        r = subprocess.run(
+            [exe], capture_output=True, text=True, timeout=300,
+            env={**os.environ, "UBSAN_OPTIONS": "halt_on_error=1"},
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "all rounds passed" in r.stdout
