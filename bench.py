@@ -14,6 +14,8 @@ import json
 import sys
 import time
 
+_T0 = time.time()
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -79,12 +81,82 @@ def main():
     value = audio_sec_per_sec / n_chips
 
     baseline_audio_sec_per_sec = 30.0  # nominal 2015 GPU (~3000 fps)
-    print(json.dumps({
+    result = {
         "metric": "ctc_train_audio_sec_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value / baseline_audio_sec_per_sec, 2),
-    }))
+    }
+    try:
+        result.update(bench_decode(deadline=_T0 + 480))
+    except Exception as e:  # noqa: BLE001 - decode bench is best-effort
+        result["decode_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(result))
+
+
+def bench_decode(deadline: float):
+    """WFST beam decode throughput on a midsize bigram TLG (~330k states).
+
+    Best-effort side metric: skipped (empty dict) if the train bench left
+    too little time before `deadline` for the decode program compile.
+    Mirrors the reference's latgen-faster decode loop
+    (src/decoder/lattice-faster-decoder.cc ProcessEmitting) as the batched
+    TPU search with the fused Pallas recombination kernel."""
+    if time.time() > deadline - 120:
+        return {}
+    import numpy as np
+
+    from eesen_tpu.decoder.beam import (
+        BeamSearchConfig, DeviceGraph, make_beam_decoder,
+    )
+    from eesen_tpu.decoder.ctc_graph import build_lg, build_tlg, compile_lang
+    from eesen_tpu.decoder.arpa import arpa_to_fst
+    from eesen_tpu.decoder.graph_compile import compile_graph
+    from eesen_tpu.recipes.lm import estimate_bigram_arpa
+    from eesen_tpu.recipes.synth_corpus import SynthConfig, make_lexicon
+
+    scfg = SynthConfig(num_phones=40, num_words=2000)
+    rng = np.random.default_rng(7)
+    lex = make_lexicon(scfg, rng)
+    vocab = [w for w, _ in lex]
+    sents = [
+        [vocab[int(j)] for j in rng.integers(0, len(vocab),
+                                             int(rng.integers(4, 12)))]
+        for _ in range(20000)
+    ]
+    arpa = estimate_bigram_arpa(sents, vocab=vocab)
+    units = [f"p{i:02d}" for i in range(scfg.num_phones)]
+    lang = compile_lang(lex, units, dict_type="phn")
+    fst = build_tlg(lang.t_fst, build_lg(lang.l_fst, arpa_to_fst(
+        arpa, lang.words)))
+    g = compile_graph(fst, max_degree=8, build_closure=True)
+    dg = DeviceGraph.put(g)
+
+    b, t, v = 8, 100, 1 + scfg.num_phones
+    ll = rng.standard_normal((b, t, v)).astype(np.float32) * 0.5
+    peaks = rng.integers(0, v, (b, t))
+    ll[np.arange(b)[:, None], np.arange(t)[None, :], peaks] += 5.0
+    ll = ll - np.log(np.exp(ll).sum(-1, keepdims=True))
+    ll_d = jnp.asarray(ll)
+    lens = jnp.full((b,), t, jnp.int32)
+    dec = make_beam_decoder(g, BeamSearchConfig(
+        beam=16.0, max_active=512, funnel_mult=2, acoustic_scale=0.9,
+    ))
+    out = dec(ll_d, lens, dg)           # compile + warm
+    float(jnp.sum(out.scores[-1]))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = dec(ll_d, lens, dg)
+        float(jnp.sum(out.scores[-1]))  # scalar fetch barrier
+        best = min(best, time.perf_counter() - t0)
+    ms_frame = best / t * 1000
+    return {
+        "decode_ms_per_frame": round(ms_frame, 2),
+        "decode_audio_sec_per_sec_per_chip": round(
+            0.010 * b * t / best, 1),
+        "decode_graph_states": g.num_states,
+    }
 
 
 if __name__ == "__main__":

@@ -89,6 +89,11 @@ class BeamSearchConfig:
     # "interpret" runs the kernel in interpreter mode (CPU tests).
     # Exact — funnel_mult / approx_top_k are ignored on this path.
     pallas_dedup: str = "auto"
+    # unroll factor for the frame scan: the axon TPU runtime has a
+    # ~0.5 ms per-while-iteration overhead, so unrolling U frames per
+    # loop iteration amortizes it U-fold at the cost of a bigger program
+    # (compile time scales with U; diminishing returns past 4)
+    scan_unroll: int = 1
 
 
 class DeviceGraph(NamedTuple):
@@ -294,17 +299,32 @@ def make_beam_decoder(
 
     def _dedup(dst: Array, score: Array):
         """Recombine+prune dispatch: fused Pallas kernel when enabled and
-        the proposal width fits, else the XLA sort path."""
+        the proposal width fits, else the XLA sort path.  Proposal sets
+        wider than the kernel's compile-time cap are first narrowed by an
+        exact top_k funnel (same exactness condition as funnel_mult on
+        the XLA path) so the kernel still applies."""
         from eesen_tpu.ops import beam_pallas
-        m = dst.shape[1]
-        fits = beam_pallas._next_pow2(m) <= beam_pallas.MAX_LANES
-        use = pmode in ("always", "interpret") or (
-            pmode == "auto" and fits and jax.default_backend() == "tpu"
+        b, m = dst.shape
+        cap = beam_pallas.MAX_LANES_AUTO
+        fits = beam_pallas._next_pow2(m) <= cap
+        interp = pmode == "interpret"
+        enabled = pmode == "always" or interp or (
+            pmode == "auto" and jax.default_backend() == "tpu"
         )
-        if use:
-            return beam_pallas.dedup_prune(
-                dst, score, k, beam, interpret=(pmode == "interpret")
+        if pmode == "always" or (enabled and fits):
+            return beam_pallas.dedup_prune(dst, score, k, beam,
+                                           interpret=interp)
+        if enabled and funnel > 0:
+            # too wide for a fast kernel compile: exact top_k funnel down
+            # to the cap first (same exactness condition as funnel_mult)
+            f = min(max(funnel, k), cap, m)
+            neg, fidx = jax.lax.top_k(-score, f)
+            fidx = fidx.astype(jnp.int32)
+            st, sc, kept = beam_pallas.dedup_prune(
+                jnp.take_along_axis(dst, fidx, axis=1), -neg, k, beam,
+                interpret=interp,
             )
+            return st, sc, jnp.take_along_axis(fidx, kept, axis=1)
         return _dedup_and_prune(dst, score, k, beam, approx, funnel)
 
     def _x_step(carry_in, do_full_dedup):
@@ -484,6 +504,7 @@ def make_beam_decoder(
         (_, _, _, overflow), (st, sc, par, ol, lm) = jax.lax.scan(
             frame, (states0, scores0, offs0, overflow0),
             (jnp.moveaxis(loglikes, 1, 0), act),
+            unroll=min(cfg.scan_unroll, t_max) if cfg.scan_unroll > 1 else 1,
         )
         return BeamOutputs(st, sc, par, ol, init_olab, overflow, lm)
 
@@ -501,6 +522,7 @@ def make_beam_decoder(
         carry, (st, sc, par, ol, lm) = jax.lax.scan(
             frame, carry,
             (jnp.moveaxis(loglikes, 1, 0), jnp.moveaxis(active, 1, 0)),
+            unroll=min(cfg.scan_unroll, t_c) if cfg.scan_unroll > 1 else 1,
         )
         return carry, (st, sc, par, ol, lm)
 

@@ -46,6 +46,10 @@ _PAD_DST = np.int32(0x3FFFFFFF)
 # the unrolled network is quadratic-ish in log2(M); cap M so compile time
 # and VMEM stay sane (beyond this the XLA sort path wins anyway)
 MAX_LANES = 32768
+# "auto" dispatch cap: Mosaic compile time explodes with width (measured
+# on v5e: 4096 lanes ~27 s, 16384 lanes ~480 s); above this the XLA sort
+# path is dispatched instead unless the caller forces "always"
+MAX_LANES_AUTO = 8192
 
 
 def _next_pow2(n: int) -> int:
@@ -165,6 +169,11 @@ def dedup_prune(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        # the unrolled network's live set exceeds the default 16 MiB
+        # scoped-vmem budget at wide M; v5e has 128 MiB of VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(dst, score)

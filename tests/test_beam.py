@@ -211,6 +211,36 @@ def test_beam_funnel_exact(tlg, funnel_mult):
     assert words == ref_words
     np.testing.assert_allclose(cost, ref_cost, rtol=1e-4, atol=1e-3)
 
+def test_beam_scan_unroll_exact(tlg):
+    """scan_unroll only restructures the frame loop; outputs must be
+    bit-identical to the unroll=1 decode."""
+    lang, fst = tlg
+    rng = np.random.default_rng(17)
+    ll = synth_loglikes(
+        rng, lang, ["a", "<blk>", "b", "<blk>", "b", "a"], t_per=2,
+        noise=1.0,
+    )
+    g = compile_graph(fst, max_degree=8, build_closure=True)
+    dg = DeviceGraph.put(g)
+    lls = jnp.asarray(ll[None])
+    lens = jnp.asarray([ll.shape[0]])
+    base = make_beam_decoder(
+        g, BeamSearchConfig(beam=1e9, max_active=128)
+    )(lls, lens, dg)
+    for unroll in (2, 4, 100):
+        out = make_beam_decoder(
+            g, BeamSearchConfig(beam=1e9, max_active=128,
+                                scan_unroll=unroll)
+        )(lls, lens, dg)
+        np.testing.assert_array_equal(
+            np.asarray(out.states), np.asarray(base.states))
+        np.testing.assert_allclose(
+            np.asarray(out.scores), np.asarray(base.scores),
+            rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(out.olabels), np.asarray(base.olabels))
+
+
 def test_sharded_beam_matches_single(tlg):
     """shard_map over the batch axis must reproduce single-device decode
     exactly (graph replicated, no cross-chip communication)."""
