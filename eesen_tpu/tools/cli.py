@@ -695,9 +695,11 @@ def cmd_train(args) -> int:
         ),
         report_step=args.report_step,
         checkpoint_dir=args.checkpoint_dir,
+        loss=args.loss,
     )
     bcfg = BatchConfig(
         num_sequence=args.num_sequence, frame_limit=args.frame_limit,
+        frame_labels=args.loss == "ce",
     )
 
     def mk(fd, ld):
@@ -1032,8 +1034,12 @@ def main(argv=None) -> int:
 
     p = sub.add_parser(
         "train",
-        help="CTC training with newbob schedule (train-ctc-parallel)",
+        help="CTC or CE training with newbob schedule "
+             "(train-ctc-parallel / train-ce-parallel)",
     )
+    p.add_argument("--loss", default="ctc", choices=["ctc", "ce"],
+                   help="ce trains on frame-aligned labels "
+                        "(netbin/train-ce-parallel.cc)")
     p.add_argument("feats_rspecifier")
     p.add_argument("labels_rspecifier")
     p.add_argument("cv_feats_rspecifier")

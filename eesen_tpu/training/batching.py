@@ -29,6 +29,9 @@ class BatchConfig:
     time_quant: int = 128
     # pad B up to num_sequence always (static batch) when True
     fixed_batch: bool = True
+    # pad labels to the (quantized) feature length — required for the CE
+    # objective, whose labels are one frame-aligned target per frame
+    frame_labels: bool = False
 
 
 @dataclasses.dataclass
@@ -80,7 +83,9 @@ def make_batches(
 def _pad_batch(utts: List[Utterance], cfg: BatchConfig) -> Dict[str, np.ndarray]:
     bsz = cfg.num_sequence if cfg.fixed_batch else len(utts)
     t_max = _round_up(max(len(u.feats) for u in utts), cfg.time_quant)
-    l_max = max(max(len(u.labels) for u in utts), 1)
+    l_max = t_max if cfg.frame_labels else max(
+        max(len(u.labels) for u in utts), 1
+    )
     dim = utts[0].feats.shape[1]
     feats = np.zeros((bsz, t_max, dim), dtype=np.float32)
     feat_lengths = np.zeros((bsz,), dtype=np.int32)

@@ -28,6 +28,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from eesen_tpu.models.model import AcousticModelConfig, apply_model, init_model
+from eesen_tpu.ops.ce import ce_loss
 from eesen_tpu.ops.ctc import ctc_loss
 from eesen_tpu.training.metrics import EpochReport, token_error_counts
 from eesen_tpu.training.optim import OptimizerConfig, make_optimizer
@@ -56,30 +57,55 @@ def create_train_state(
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx
 
 
-def _loss_and_metrics(params, batch, model_cfg, rng, train):
+def _obj_and_metrics(params, batch, model_cfg, rng, train, loss="ctc"):
+    """Unnormalized objective sum + monitor metrics for one batch.
+
+    loss="ctc": per-utterance CTC negative log-likelihood (the reference's
+    train-ctc objective).  loss="ce": per-frame cross entropy against
+    frame-aligned labels (reference: src/netbin/train-ce.cc /
+    train-ce-parallel.cc; labels [B, T] padded to the feature length —
+    BatchConfig(frame_labels=True)); metrics gain a `correct` count, the
+    frame-accuracy monitor of src/net/ce-loss.cc."""
     logits = apply_model(
         params, batch["feats"], batch["feat_lengths"], model_cfg,
         train=train, rng=rng,
     )
+    argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if loss == "ce":
+        t = logits.shape[1]
+        _, m = ce_loss(logits, batch["feat_lengths"], batch["labels"][:, :t])
+        metrics = {
+            "obj_sum": m["obj_sum"],
+            "frames": m["frames"],
+            "correct": m["correct"],
+            "argmax": argmax,
+        }
+        return m["obj_sum"], metrics
     nll = ctc_loss(
         logits, batch["feat_lengths"], batch["labels"],
         batch["label_lengths"],
     )
     frames = jnp.sum(batch["feat_lengths"])
-    loss = jnp.sum(nll) / jnp.maximum(frames, 1).astype(nll.dtype)
-    argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     metrics = {
         "obj_sum": jnp.sum(nll),
         "frames": frames,
         "argmax": argmax,
     }
-    return loss, metrics
+    return jnp.sum(nll), metrics
+
+
+def _loss_and_metrics(params, batch, model_cfg, rng, train, loss="ctc"):
+    obj, metrics = _obj_and_metrics(params, batch, model_cfg, rng, train,
+                                    loss)
+    frames = metrics["frames"]
+    return obj / jnp.maximum(frames, 1).astype(obj.dtype), metrics
 
 
 def make_train_step(
     model_cfg: AcousticModelConfig,
     tx: optax.GradientTransformation,
     donate: bool = True,
+    loss: str = "ctc",
 ) -> Callable:
     """Returns jitted train_step(state, batch, rng, learn_rate) ->
     (state, metrics).
@@ -91,9 +117,12 @@ def make_train_step(
     multi-chip runs.
     """
 
+    loss_kind = loss
+
     def train_step(state: TrainState, batch, rng, learn_rate):
         def loss_fn(p):
-            return _loss_and_metrics(p, batch, model_cfg, rng, True)
+            return _loss_and_metrics(p, batch, model_cfg, rng, True,
+                                     loss_kind)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -117,6 +146,7 @@ def make_shard_map_train_step(
     tx: optax.GradientTransformation,
     mesh: Mesh,
     donate: bool = True,
+    loss: str = "ctc",
 ) -> Callable:
     """Train step as `shard_map`: MANUAL data parallelism (explicit
     gradient pmean over the `data` axis) with the `model` axis left to the
@@ -133,26 +163,20 @@ def make_shard_map_train_step(
 
     from eesen_tpu.parallel.sharding import batch_pspec
 
+    loss_kind = loss
+
     def local_step(state: TrainState, batch, rng, learn_rate):
         def loss_fn(p):
-            logits = apply_model(
-                p, batch["feats"], batch["feat_lengths"], model_cfg,
-                train=True, rng=rng,
-            )
-            nll = ctc_loss(
-                logits, batch["feat_lengths"], batch["labels"],
-                batch["label_lengths"],
+            obj, metrics = _obj_and_metrics(
+                p, batch, model_cfg, rng, True, loss_kind
             )
             # normalize by GLOBAL frame count so every shard computes the
             # same objective scale
-            frames = jax.lax.psum(
-                jnp.sum(batch["feat_lengths"]), "data"
-            )
-            loss = jnp.sum(nll) / jnp.maximum(frames, 1).astype(nll.dtype)
-            argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return loss, {
-                "obj_sum": jnp.sum(nll), "frames": frames, "argmax": argmax,
-            }
+            frames = jax.lax.psum(metrics["frames"], "data")
+            metrics["frames"] = frames
+            if "correct" in metrics:
+                metrics["correct"] = jax.lax.psum(metrics["correct"], "data")
+            return obj / jnp.maximum(frames, 1).astype(obj.dtype), metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -184,6 +208,8 @@ def make_shard_map_train_step(
     b_specs = batch_pspec()
     metric_specs = {"obj_sum": P(), "frames": P(), "argmax": P("data"),
                     "loss": P()}
+    if loss == "ce":
+        metric_specs["correct"] = P()
 
     def step(state, batch, rng, learn_rate):
         sm = jax.shard_map(
@@ -199,12 +225,16 @@ def make_shard_map_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model_cfg: AcousticModelConfig) -> Callable:
+def make_eval_step(
+    model_cfg: AcousticModelConfig, loss: str = "ctc",
+) -> Callable:
     """Cross-validation step (no backprop) — the reference's
     --cross-validate=true mode (train-ctc-parallel.cc:116-119,206)."""
 
     def eval_step(params, batch):
-        _, metrics = _loss_and_metrics(params, batch, model_cfg, None, False)
+        _, metrics = _loss_and_metrics(
+            params, batch, model_cfg, None, False, loss
+        )
         return metrics
 
     return jax.jit(eval_step)
@@ -225,6 +255,9 @@ class TrainerConfig:
     # LATE so the host edit distance overlaps the next device step
     # instead of serializing with it.
     ter_step: int = 1
+    # objective: "ctc" (train-ctc-parallel) or "ce" (train-ce-parallel,
+    # frame-aligned labels — pair with BatchConfig(frame_labels=True))
+    loss: str = "ctc"
 
 
 class Trainer:
@@ -243,11 +276,12 @@ class Trainer:
             # manual-DP shard_map step: required for the Pallas LSTM to
             # run on local shards instead of being replicated by jit
             self.train_step = make_shard_map_train_step(
-                cfg.model, self.tx, mesh
+                cfg.model, self.tx, mesh, loss=cfg.loss
             )
         else:
-            self.train_step = make_train_step(cfg.model, self.tx)
-        self.eval_step = make_eval_step(cfg.model)
+            self.train_step = make_train_step(cfg.model, self.tx,
+                                              loss=cfg.loss)
+        self.eval_step = make_eval_step(cfg.model, loss=cfg.loss)
         self.sched = NewbobScheduler(cfg.newbob)
 
     def run_epoch(
@@ -268,7 +302,12 @@ class Trainer:
         def process(entry):
             metrics, meta, want_ter = entry
             feat_lengths, labels, label_lengths = meta
-            if want_ter:
+            if want_ter and "correct" in metrics:
+                # CE: frame accuracy (src/net/ce-loss.cc monitor), no
+                # host edit distance needed
+                refs = int(metrics["frames"])
+                errs = refs - int(metrics["correct"])
+            elif want_ter:
                 errs, refs = token_error_counts(
                     np.asarray(metrics["argmax"]),
                     feat_lengths, labels, label_lengths,
