@@ -173,16 +173,76 @@ Fst connect(const Fst& f) {
 
 // ---------- compose (epsilon-sequencing filter, canonical A*B*) ----------
 
-struct TripleHash {
-  size_t operator()(const std::tuple<int32_t, int32_t, int8_t>& t) const {
-    return std::get<0>(t) * 1000003u ^ std::get<1>(t) * 7919u ^ std::get<2>(t);
+// Open-addressing uint64 -> int32 map (power-of-2 table, linear probing).
+// The composition state map is THE scaling bottleneck at LM scale
+// (~10M pair states); std::unordered_map's node allocations and tuple
+// hashing made compose ~50x slower than memory bandwidth allows.
+class FlatMap64 {
+ public:
+  explicit FlatMap64(size_t expect) { rehash(roundup(expect * 2)); }
+
+  // returns the slot's value reference; inserts `fresh` if absent
+  int32_t* find_or_null(uint64_t key) {
+    size_t mask = table_.size() - 1;
+    size_t i = hash(key) & mask;
+    while (true) {
+      Slot& s = table_[i];
+      if (s.key == key && s.used) return &s.val;
+      if (!s.used) return nullptr;
+      i = (i + 1) & mask;
+    }
   }
+
+  void insert(uint64_t key, int32_t val) {
+    if ((count_ + 1) * 10 >= table_.size() * 7) grow();
+    size_t mask = table_.size() - 1;
+    size_t i = hash(key) & mask;
+    while (table_[i].used) i = (i + 1) & mask;
+    table_[i] = {key, val, true};
+    count_++;
+  }
+
+ private:
+  struct Slot {
+    uint64_t key = 0;
+    int32_t val = 0;
+    bool used = false;
+  };
+  static size_t roundup(size_t n) {
+    size_t p = 64;
+    while (p < n) p <<= 1;
+    return p;
+  }
+  static size_t hash(uint64_t k) {
+    k ^= k >> 33;
+    k *= 0xff51afd7ed558ccdULL;
+    k ^= k >> 33;
+    return (size_t)k;
+  }
+  void rehash(size_t n) { table_.assign(n, Slot{}); }
+  void grow() {
+    std::vector<Slot> old;
+    old.swap(table_);
+    rehash(old.size() * 2);
+    for (auto& s : old) {
+      if (!s.used) continue;
+      size_t mask = table_.size() - 1;
+      size_t i = hash(s.key) & mask;
+      while (table_[i].used) i = (i + 1) & mask;
+      table_[i] = s;
+    }
+  }
+  std::vector<Slot> table_;
+  size_t count_ = 0;
 };
 
 Fst compose(const Fst& a, const Fst& b) {
   // Table composition: b's arcs are ilabel-sorted once (the reference's
   // TableCompose strategy, src/fstext/table-matcher.h) so each match is a
-  // binary search instead of building a per-visit hash map.
+  // binary search instead of building a per-visit hash map.  The pair
+  // state table is a flat open-addressing map keyed by the packed
+  // (sa, sb, filter) triple; the work stack carries (key, id) so no
+  // lookup repeats on pop.
   Fst out;
   if (a.start < 0 || b.start < 0) return out;
 
@@ -207,44 +267,66 @@ Fst compose(const Fst& a, const Fst& b) {
             arcs.data() + (hi - arcs.begin())};
   };
 
-  using Key = std::tuple<int32_t, int32_t, int8_t>;
-  std::unordered_map<Key, int32_t, TripleHash> ids;
-  ids.reserve(a.num_states() + b.num_states());
-  std::vector<Key> stack;
+  // (sa, sb, flt) packed: sa/sb < 2^31, flt in {0,1,2}
+  auto pack_key = [](int32_t sa, int32_t sb, int8_t flt) -> uint64_t {
+    return ((uint64_t)(uint32_t)sa << 33) | ((uint64_t)(uint32_t)sb << 2) |
+           (uint64_t)flt;
+  };
+  FlatMap64 ids(a.num_states() + b.num_states());
+  struct Todo { int32_t sa, sb, id; int8_t flt; };
+  std::vector<Todo> stack;
+  int64_t n_out = 0;
   auto get_state = [&](int32_t sa, int32_t sb, int8_t flt) {
-    Key k{sa, sb, flt};
-    auto it = ids.find(k);
-    if (it != ids.end()) return it->second;
-    int32_t id = out.add_state();
-    ids.emplace(k, id);
-    stack.push_back(k);
+    uint64_t k = pack_key(sa, sb, flt);
+    if (int32_t* v = ids.find_or_null(k)) return *v;
+    int32_t id = (int32_t)n_out++;
+    ids.insert(k, id);
+    stack.push_back({sa, sb, id, flt});
     return id;
   };
-  out.start = get_state((int32_t)a.start, (int32_t)b.start, 0);
+  // each pair state is expanded exactly once, so its arcs land
+  // contiguously in ONE flat arena (5M+ per-state vectors thrash the
+  // allocator at LM scale); per-state (offset, count) index the arena
+  std::vector<Arc> arena;
+  arena.reserve(a.num_states() * 4);
+  std::vector<std::pair<int64_t, int32_t>> spans;
+  auto note_span = [&](int32_t id, int64_t off) {
+    if ((int64_t)spans.size() <= id) spans.resize(id + 1, {0, 0});
+    spans[id] = {off, (int32_t)(arena.size() - off)};
+  };
+  int32_t start_id = get_state((int32_t)a.start, (int32_t)b.start, 0);
   while (!stack.empty()) {
-    auto [sa, sb, flt] = stack.back(); stack.pop_back();
-    int32_t cur = ids[{sa, sb, flt}];
+    auto [sa, sb, cur, flt] = stack.back(); stack.pop_back();
     if (a.is_final(sa) && b.is_final(sb))
       out.finals[cur] = a.final_weight(sa) + b.final_weight(sb);
+    int64_t off = (int64_t)arena.size();
     for (auto& aa : a.arcs[sa]) {
       if (aa.ol == kEps) {
         if (flt == 0 || flt == 1) {
           int32_t nxt = get_state(aa.dst, sb, 1);
-          out.arcs[cur].push_back({aa.il, kEps, aa.w, nxt});
+          arena.push_back({aa.il, kEps, aa.w, nxt});
         }
       } else {
         auto [lo, hi] = match_range(sb, aa.ol);
         for (const Arc* ab = lo; ab != hi; ++ab) {
           int32_t nxt = get_state(aa.dst, ab->dst, 0);
-          out.arcs[cur].push_back({aa.il, ab->ol, aa.w + ab->w, nxt});
+          arena.push_back({aa.il, ab->ol, aa.w + ab->w, nxt});
         }
       }
     }
     auto [elo, ehi] = match_range(sb, kEps);
     for (const Arc* ab = elo; ab != ehi; ++ab) {
       int32_t nxt = get_state(sa, ab->dst, 2);
-      out.arcs[cur].push_back({kEps, ab->ol, ab->w, nxt});
+      arena.push_back({kEps, ab->ol, ab->w, nxt});
     }
+    note_span(cur, off);
+  }
+  out.start = start_id;
+  out.arcs.resize(n_out);
+  spans.resize(n_out, {0, 0});
+  for (int64_t s = 0; s < n_out; s++) {
+    auto [off, cnt] = spans[s];
+    out.arcs[s].assign(arena.begin() + off, arena.begin() + off + cnt);
   }
   return connect(out);
 }

@@ -99,13 +99,17 @@ class RecipeRun:
     ) -> Dict[str, np.ndarray]:
         """wav.scp -> pipeline features, with per-speaker CMVN."""
         raw: Dict[str, np.ndarray] = {}
-        fb = jax.jit(lambda w: fbank(w, self.cfg.fbank))
-        fbd = jax.jit(lambda w, r: fbank(w, self.cfg.fbank, dither_rng=r))
+        fb = jax.jit(jax.vmap(lambda w: fbank(w, self.cfg.fbank)))
+        fbd = jax.jit(
+            jax.vmap(lambda w, r: fbank(w, self.cfg.fbank, dither_rng=r))
+        )
         rng = (
             jax.random.PRNGKey(dither_seed) if dither_seed is not None
             else None
         )
-        # pad waves to shape buckets so the TPU compiles few programs
+        # pad waves to ONE shape bucket and batch utterances per device
+        # call: the per-call host<->device round trip dominates at
+        # corpus scale (measured ~1 s/utt unbatched over the axon tunnel)
         waves = {}
         for k, src in data.wav_scp.items():
             if isinstance(src, np.ndarray):   # in-memory corpora
@@ -117,16 +121,23 @@ class RecipeRun:
             return {}
         max_n = max(len(w) for w in waves.values())
         bucket = 1 << max(int(np.ceil(np.log2(max(max_n, 1024)))), 10)
-        for k, w in waves.items():
-            nf = num_frames(len(w), self.cfg.fbank.frame_opts)
-            wp = np.zeros(bucket, np.float32)
-            wp[: len(w)] = w
+        keys = sorted(waves)
+        fbatch = 16
+        for i in range(0, len(keys), fbatch):
+            chunk = keys[i : i + fbatch]
+            wp = np.zeros((fbatch, bucket), np.float32)
+            for j, k in enumerate(chunk):
+                wp[j, : len(waves[k])] = waves[k]
             if rng is not None and self.cfg.fbank.frame_opts.dither != 0.0:
                 rng, sub = jax.random.split(rng)
-                out = np.asarray(fbd(jnp.asarray(wp), sub))
+                out = np.asarray(
+                    fbd(jnp.asarray(wp), jax.random.split(sub, fbatch))
+                )
             else:
                 out = np.asarray(fb(jnp.asarray(wp)))
-            raw[k] = out[:nf]
+            for j, k in enumerate(chunk):
+                nf = num_frames(len(waves[k]), self.cfg.fbank.frame_opts)
+                raw[k] = out[j, :nf]
         cmvn = speaker_cmvn_stats(raw, data.utt2spk)
         pipe = FeaturePipeline(self.cfg.pipeline, cmvn, data.utt2spk)
         return {k: pipe(k, v) for k, v in raw.items()}
