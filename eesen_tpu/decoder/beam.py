@@ -482,17 +482,36 @@ def make_beam_decoder(
             ident = jnp.repeat(jnp.arange(k, dtype=jnp.int32)[None], b, 0)
             out_parent = jnp.where(active, parent, ident)
             out_olab = jnp.where(active[..., None], olab, 0)
-            finite = jnp.isfinite(out_scores)
-            if lat_beam > 0.0:
-                fbest = jnp.min(out_scores, axis=1, keepdims=True)
-                mask = finite & (out_scores <= fbest + lat_beam)
-            else:
-                mask = finite
-            return (out_states, out_scores, out_offs, overflow), (
-                out_states, out_scores, out_parent, out_olab, mask,
-            )
+            # ONE stacked per-frame output: each separate scan output
+            # costs its own dynamic-update-slice per iteration (~0.65 ms
+            # for five on axon v5e); pack everything into one int32
+            # plane and split after the scan.  lat_mask is derived from
+            # the stacked scores post-scan (it is a pure function of
+            # them), so it costs nothing here.
+            packed = jnp.concatenate(
+                [out_states[..., None],
+                 jax.lax.bitcast_convert_type(
+                     out_scores, jnp.int32)[..., None],
+                 out_parent[..., None],
+                 out_olab], axis=-1,
+            )                                           # [B, K, 3+L]
+            return (out_states, out_scores, out_offs, overflow), packed
 
         return frame
+
+    def _unpack_outputs(packed: Array):
+        """[T, B, K, 3+L] int32 -> (states, scores, parent, olab, mask)."""
+        st = packed[..., 0]
+        sc = jax.lax.bitcast_convert_type(packed[..., 1], jnp.float32)
+        par = packed[..., 2]
+        ol = packed[..., 3:]
+        finite = jnp.isfinite(sc)
+        if lat_beam > 0.0:
+            fbest = jnp.min(sc, axis=-1, keepdims=True)
+            mask = finite & (sc <= fbest + lat_beam)
+        else:
+            mask = finite
+        return st, sc, par, ol, mask
 
     def decode(loglikes: Array, lengths: Array, dg: DeviceGraph) -> BeamOutputs:
         dg_holder[0] = dg
@@ -501,11 +520,12 @@ def make_beam_decoder(
         frame = make_frame(dg, v)
         ts = jnp.arange(t_max, dtype=jnp.int32)
         act = ts[:, None] < lengths[None, :]           # [T, B]
-        (_, _, _, overflow), (st, sc, par, ol, lm) = jax.lax.scan(
+        (_, _, _, overflow), packed = jax.lax.scan(
             frame, (states0, scores0, offs0, overflow0),
             (jnp.moveaxis(loglikes, 1, 0), act),
             unroll=min(cfg.scan_unroll, t_max) if cfg.scan_unroll > 1 else 1,
         )
+        st, sc, par, ol, lm = _unpack_outputs(packed)
         return BeamOutputs(st, sc, par, ol, init_olab, overflow, lm)
 
     def init_chunk(b: int, dg: DeviceGraph):
@@ -519,12 +539,12 @@ def make_beam_decoder(
         dg_holder[0] = dg
         b, t_c, v = loglikes.shape
         frame = make_frame(dg, v)
-        carry, (st, sc, par, ol, lm) = jax.lax.scan(
+        carry, packed = jax.lax.scan(
             frame, carry,
             (jnp.moveaxis(loglikes, 1, 0), jnp.moveaxis(active, 1, 0)),
             unroll=min(cfg.scan_unroll, t_c) if cfg.scan_unroll > 1 else 1,
         )
-        return carry, (st, sc, par, ol, lm)
+        return carry, _unpack_outputs(packed)
 
     if _internals:
         return init_chunk, decode_chunk

@@ -562,6 +562,59 @@ def cmd_net_average(args) -> int:
     return 0
 
 
+def cmd_net_change_model(args) -> int:
+    """Rewrite a saved model's dropout hyperparameters without touching
+    weights (= netbin/net-change-model.cc: mid-training schedule changes
+    for the dropout-variant experiments).  Works on our pickle blobs and
+    on reference .nnet files (read -> change -> write)."""
+    import dataclasses as _dc
+    import pickle
+    import jax
+    from eesen_tpu.models.serialize import read_eesen_nnet, write_eesen_nnet
+
+    if args.src.endswith(".nnet"):
+        params, cfg = read_eesen_nnet(args.src)
+    else:
+        with open(args.src, "rb") as f:
+            blob = pickle.load(f)
+        params, cfg = blob["params"], blob["config"]
+    mode = cfg.recurrent_dropout_mode
+    if args.rnndrop:
+        mode = "rnndrop"
+    if args.nmldrop:
+        mode = "no_mem_loss"
+    cfg = _dc.replace(
+        cfg,
+        forward_dropout=(
+            args.forwarddrop if args.forwarddrop is not None
+            else cfg.forward_dropout),
+        recurrent_dropout=(
+            args.recurrentdrop if args.recurrentdrop is not None
+            else cfg.recurrent_dropout),
+        forward_step_dropout=(
+            args.forwardstep if args.forwardstep is not None
+            else cfg.forward_step_dropout),
+        recurrent_step_dropout=(
+            args.recurrentstep if args.recurrentstep is not None
+            else cfg.recurrent_step_dropout),
+        recurrent_dropout_mode=mode,
+        twiddle=(args.twiddleforward if args.twiddleforward is not None
+                 else cfg.twiddle),
+    )
+    if args.dst.endswith(".nnet"):
+        write_eesen_nnet(
+            args.dst, jax.tree_util.tree_map(np.asarray, params), cfg,
+            parallel=args.parallel,
+        )
+    else:
+        with open(args.dst, "wb") as f:
+            pickle.dump({"params": params, "config": cfg}, f)
+    print(f"net-change-model: wrote {args.dst} "
+          f"(fw={cfg.forward_dropout} rec={cfg.recurrent_dropout} "
+          f"mode={cfg.recurrent_dropout_mode} twiddle={cfg.twiddle})")
+    return 0
+
+
 def cmd_net_copy(args) -> int:
     """Convert between our pickle and the reference .nnet formats
     (= netbin/net-copy.cc + format-to-nonparallel.cc)."""
@@ -1024,6 +1077,26 @@ def main(argv=None) -> int:
     p.add_argument("src")
     p.add_argument("dst")
     p.set_defaults(func=cmd_net_copy)
+
+    p = sub.add_parser(
+        "net-change-model",
+        help="rewrite dropout hyperparameters of a saved model "
+             "(netbin/net-change-model)",
+    )
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--forwarddrop", type=float, default=None)
+    p.add_argument("--recurrentdrop", type=float, default=None)
+    p.add_argument("--forwardstep", type=lambda s: s == "true",
+                   default=None)
+    p.add_argument("--recurrentstep", type=lambda s: s == "true",
+                   default=None)
+    p.add_argument("--rnndrop", action="store_true")
+    p.add_argument("--nmldrop", action="store_true")
+    p.add_argument("--twiddleforward", type=lambda s: s == "true",
+                   default=None)
+    p.add_argument("--parallel", action="store_true")
+    p.set_defaults(func=cmd_net_change_model)
 
     p = sub.add_parser("align")
     p.add_argument("model")

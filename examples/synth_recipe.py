@@ -46,7 +46,11 @@ def main():
     ap.add_argument("--utts", type=int, default=800)
     ap.add_argument("--cv", type=int, default=64)
     ap.add_argument("--eval", type=int, default=100)
-    ap.add_argument("--epochs-repeat", type=int, default=2)
+    # repeats per newbob epoch: ~1h of synthetic audio needs several
+    # passes per epoch for CTC to break out of all-blank before the
+    # schedule starts halving (the reference's corpora are 80-300h, so
+    # one pass per epoch suffices there)
+    ap.add_argument("--epochs-repeat", type=int, default=8)
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
@@ -101,10 +105,20 @@ def main():
         return run.compute_features(d), run.prep_labels(d)
 
     t0 = time.time()
-    tr_f, tr_l = feats_for(tr_waves, tr_texts, tr_spk)
-    cv_f, cv_l = feats_for(cv_waves, cv_texts, cv_spk)
-    ev_f, _ = feats_for(ev_waves, ev_texts, ev_spk)
-    print(f"features in {time.time()-t0:.0f}s", flush=True)
+    feat_cache = os.path.join(args.workdir, "feats.npz")
+    if os.path.exists(feat_cache):
+        z = np.load(feat_cache, allow_pickle=True)
+        tr_f, tr_l, cv_f, cv_l, ev_f = (
+            z[k].item() for k in ("tr_f", "tr_l", "cv_f", "cv_l", "ev_f")
+        )
+        print("features loaded from cache", flush=True)
+    else:
+        tr_f, tr_l = feats_for(tr_waves, tr_texts, tr_spk)
+        cv_f, cv_l = feats_for(cv_waves, cv_texts, cv_spk)
+        ev_f, _ = feats_for(ev_waves, ev_texts, ev_spk)
+        np.savez(feat_cache, tr_f=tr_f, tr_l=tr_l, cv_f=cv_f, cv_l=cv_l,
+                 ev_f=ev_f)
+        print(f"features in {time.time()-t0:.0f}s", flush=True)
 
     t0 = time.time()
     hist = run.train(tr_f, tr_l, cv_f, cv_l,

@@ -98,3 +98,27 @@ def test_profiler():
     assert "op_a" in report and "op_b" in report
     p.reset()
     assert not p.totals
+
+
+def test_net_change_model(tmp_path):
+    """net-change-model rewrites dropout hyperparameters, not weights."""
+    src = str(tmp_path / "m.pkl")
+    dst = str(tmp_path / "m2.pkl")
+    params, cfg = _save_model(src)
+    assert main([
+        "net-change-model", src, dst,
+        "--forwarddrop", "0.2", "--recurrentdrop", "0.3",
+        "--rnndrop", "--forwardstep", "true", "--twiddleforward", "true",
+    ]) == 0
+    with open(dst, "rb") as f:
+        blob = pickle.load(f)
+    c2 = blob["config"]
+    assert c2.forward_dropout == 0.2
+    assert c2.recurrent_dropout == 0.3
+    assert c2.recurrent_dropout_mode == "rnndrop"
+    assert c2.forward_step_dropout is True
+    assert c2.twiddle is True
+    assert c2.cell_dim == cfg.cell_dim
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(blob["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
