@@ -86,9 +86,15 @@ def arpa_to_fst(
     ngrams = parse_arpa(path_or_text)
     order = len(ngrams)
 
-    vocab = None
-    if words is not None:
-        vocab = {w for w, _ in words.items()}
+    if words is None:
+        # build the table from the LM's own unigram vocabulary
+        # (arpa2fst.cc --write-symbol-table behavior)
+        from eesen_tpu.decoder.ctc_graph import make_word_table
+        words = make_word_table(
+            w for _, (w,), _ in ngrams[0] if w not in (bos, eos)
+        )
+
+    vocab = {w for w, _ in words.items()}
 
     def in_vocab(ws: Tuple[str, ...]) -> bool:
         if vocab is None:

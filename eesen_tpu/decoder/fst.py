@@ -887,3 +887,24 @@ def is_deterministic(fst: Fst) -> bool:
         if EPS in labels or len(labels) != len(set(labels)):
             return False
     return True
+
+
+def is_stochastic(fst: Fst, delta: float = 0.01) -> Tuple[bool, float, float]:
+    """Check per-state weight normalization in the log semiring: at every
+    state, -log sum exp(-w) over outgoing arcs + final weight should be 0
+    (reference: src/fstbin/fstisstochastic.cc).  Returns (ok, min, max)
+    of the per-state residuals, like the binary prints."""
+    lo, hi = math.inf, -math.inf
+    for s in range(fst.num_states):
+        total = math.inf
+        for a in fst.arcs[s]:
+            total = log_plus(total, a.weight)
+        if s in fst.finals:
+            total = log_plus(total, fst.finals[s])
+        if total == math.inf:
+            continue   # dead state: no outgoing mass (fstisstochastic
+            #             likewise only reports reachable residuals)
+        lo, hi = min(lo, total), max(hi, total)
+    if lo > hi:
+        return True, 0.0, 0.0
+    return (abs(lo) <= delta and abs(hi) <= delta), lo, hi

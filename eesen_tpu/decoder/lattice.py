@@ -265,6 +265,43 @@ class Lattice:
         out.reverse()
         return out
 
+    def one_best(self) -> "Lattice":
+        """Linear lattice containing only the best path, costs preserved
+        per arc (= decoderbin/lattice-1best.cc)."""
+        n = self.num_states
+        dist = np.full(n, INF)
+        back: List[Optional[Tuple[int, LatticeArc]]] = [None] * n
+        dist[self.start] = 0.0
+        order = np.argsort(np.asarray(self.state_frame), kind="stable")
+        for s in order:
+            if not np.isfinite(dist[s]):
+                continue
+            for a in self.arcs[s]:
+                nd = dist[s] + a.graph_cost + a.acoustic_cost
+                if nd < dist[a.nextstate]:
+                    dist[a.nextstate] = nd
+                    back[a.nextstate] = (int(s), a)
+        best_s, best_c = -1, INF
+        for s, fw in self.finals.items():
+            if dist[s] + fw < best_c:
+                best_c, best_s = dist[s] + fw, s
+        out = Lattice()
+        if best_s < 0:
+            return out
+        chain: List[Tuple[int, LatticeArc]] = []
+        s = best_s
+        while back[s] is not None:
+            chain.append(back[s])
+            s = back[s][0]
+        chain.reverse()
+        prev = out.add_state(self.state_frame[self.start])
+        for src, a in chain:
+            nxt = out.add_state(self.state_frame[a.nextstate])
+            out.arcs[prev].append(dataclasses.replace(a, nextstate=nxt))
+            prev = nxt
+        out.finals[prev] = self.finals[best_s]
+        return out
+
 
 def lattice_from_beam(
     outputs: BeamOutputs,

@@ -881,6 +881,160 @@ def cmd_lattice_to_nbest(args) -> int:
     return 0
 
 
+def cmd_lattice_1best(args) -> int:
+    """(= decoderbin/lattice-1best.cc): keep only the best path of each
+    lattice (costs preserved per arc)."""
+    from eesen_tpu.decoder.clat import compact_to_lattice
+
+    def gen():
+        for key, lat in _lattice_items(args.in_ark):
+            if hasattr(lat, "scaled"):
+                lat = compact_to_lattice(lat)
+            lat.scale(args.acoustic_scale, args.lm_scale)
+            best = lat.one_best()
+            best.scale(
+                1.0 / args.acoustic_scale if args.acoustic_scale else 1.0,
+                1.0 / args.lm_scale if args.lm_scale else 1.0,
+            )
+            yield key, best
+
+    _write_lattices(args.out_ark, gen(), args.binary)
+    return 0
+
+
+def cmd_nbest_to_ctm(args) -> int:
+    """(= decoderbin/nbest-to-ctm.cc): best-path word time boundaries in
+    CTM format (word start at its olabel frame)."""
+    from eesen_tpu.decoder.clat import compact_to_lattice
+    from eesen_tpu.decoder.ctc_graph import SymbolTable
+
+    words = SymbolTable.read(args.words) if args.words else None
+    out_f = sys.stdout if args.out == "-" else open(args.out, "w")
+    for key, lat in _lattice_items(args.in_ark):
+        if hasattr(lat, "scaled"):
+            lat = compact_to_lattice(lat)
+        for (w, s, e) in lat.word_times():
+            name = words.sym(w) if words else str(w)
+            dur = max(e - s, 1) * args.frame_shift
+            out_f.write(
+                f"{key} 1 {s * args.frame_shift:.2f} {dur:.2f} {name}\n"
+            )
+    if out_f is not sys.stdout:
+        out_f.close()
+    return 0
+
+
+def cmd_analyze_counts(args) -> int:
+    """(= decoderbin/analyze-counts.cc): class frame counts from label
+    int-vectors, for class priors."""
+    from eesen_tpu.models.priors import counts_from_labels
+
+    seqs = [np.asarray(v, np.int64)
+            for _, v in read_rspecifier(args.labels_rspecifier)]
+    counts = counts_from_labels(seqs, args.num_targets)
+    np.savetxt(args.out, counts)
+    return 0
+
+
+def cmd_arpa2fst(args) -> int:
+    """(= decoderbin/arpa2fst.cc): ARPA LM -> G fst (OpenFst text)."""
+    from eesen_tpu.decoder.arpa import arpa_to_fst
+    from eesen_tpu.decoder.ctc_graph import SymbolTable
+
+    words = SymbolTable.read(args.words) if args.words else None
+    g = arpa_to_fst(args.arpa, words,
+                    disambig_symbol=args.disambig_symbol)
+    out_f = sys.stdout if args.out == "-" else open(args.out, "w")
+    out_f.write(g.to_text())
+    if out_f is not sys.stdout:
+        out_f.close()
+    return 0
+
+
+# --------------------------------------------------------------------------
+# fstbin equivalents over OpenFst-text files ("-" = stdin/stdout, so the
+# reference's shell pipelines port directly)
+# --------------------------------------------------------------------------
+
+def _read_text_fst(path):
+    from eesen_tpu.decoder.fst import Fst
+    text = sys.stdin.read() if path == "-" else open(path).read()
+    return Fst.from_text(text)
+
+
+def _write_text_fst(f, path) -> int:
+    out_f = sys.stdout if path == "-" else open(path, "w")
+    out_f.write(f.to_text())
+    if out_f is not sys.stdout:
+        out_f.close()
+    return 0
+
+
+def cmd_fst_unary(args, op: str) -> int:
+    """fstcopy / fstdeterminizestar / fstdeterminizelog /
+    fstminimizeencoded / fstrmepsilon / fstpushspecial / fstconnect /
+    fstarcsort over text FSTs (native C++ dispatch when built)."""
+    from eesen_tpu.decoder import fst as pyfst
+    from eesen_tpu.decoder import fst_native as nat
+
+    f = _read_text_fst(args.in_fst)
+    if op == "copy":
+        g = f
+    elif op == "determinize-star":
+        g = nat.determinize_star(f, "tropical")
+    elif op == "determinize-log":
+        g = nat.determinize_star(f, "log")
+    elif op == "minimize-encoded":
+        g = nat.minimize_encoded(f)
+    elif op == "rm-epsilon":
+        g = nat.rm_epsilon(f, args.semiring)
+    elif op == "push-special":
+        g = pyfst.push_special(f, delta=args.delta)
+    elif op == "connect":
+        g = nat.connect(f)
+    elif op == "arcsort":
+        g = pyfst.arcsort(f, args.sort_type)
+    else:
+        raise ValueError(op)
+    return _write_text_fst(g, args.out_fst)
+
+
+def cmd_fst_compose(args) -> int:
+    """fsttablecompose / fstphicompose / fstrhocompose over text FSTs."""
+    from eesen_tpu.decoder import fst as pyfst
+    from eesen_tpu.decoder import fst_native as nat
+
+    a = _read_text_fst(args.a)
+    b = _read_text_fst(args.b)
+    if args.phi:
+        g = pyfst.phi_compose(a, b, args.phi)
+    elif args.rho:
+        g = pyfst.rho_compose(a, b, args.rho)
+    else:
+        g = nat.compose(pyfst.arcsort(a, "olabel"), b)
+    return _write_text_fst(g, args.out_fst)
+
+
+def cmd_fst_add_self_loops(args) -> int:
+    """(= fstbin/fstaddselfloops.cc)."""
+    from eesen_tpu.decoder.fst import add_self_loops
+
+    f = _read_text_fst(args.in_fst)
+    isyms = [int(x) for x in args.isyms.split(",") if x]
+    osyms = [int(x) for x in args.osyms.split(",") if x]
+    return _write_text_fst(add_self_loops(f, isyms, osyms), args.out_fst)
+
+
+def cmd_fst_is_stochastic(args) -> int:
+    """(= fstbin/fstisstochastic.cc): prints min/max residual; exit 0
+    iff stochastic within delta."""
+    from eesen_tpu.decoder.fst import is_stochastic
+
+    ok, lo, hi = is_stochastic(_read_text_fst(args.in_fst), args.delta)
+    print(f"{lo:.6g} {hi:.6g}")
+    return 0 if ok else 1
+
+
 def cmd_lattice_to_ctm_conf(args) -> int:
     """(= decoderbin/lattice-to-ctm-conf.cc): MBR one-best with
     confidences in CTM format."""
@@ -1190,6 +1344,75 @@ def main(argv=None) -> int:
     p.add_argument("--words", default=None)
     p.add_argument("--frame-shift", type=float, default=0.01)
     p.set_defaults(func=cmd_lattice_to_ctm_conf)
+
+    p = sub.add_parser("lattice-1best")
+    _lat_io(p, scale=True)
+    p.set_defaults(func=cmd_lattice_1best)
+
+    p = sub.add_parser("nbest-to-ctm")
+    p.add_argument("in_ark")
+    p.add_argument("--out", default="-")
+    p.add_argument("--words", default=None)
+    p.add_argument("--frame-shift", type=float, default=0.01)
+    p.set_defaults(func=cmd_nbest_to_ctm)
+
+    p = sub.add_parser("analyze-counts")
+    p.add_argument("labels_rspecifier")
+    p.add_argument("out")
+    p.add_argument("--num-targets", type=int, required=True)
+    p.set_defaults(func=cmd_analyze_counts)
+
+    p = sub.add_parser("arpa2fst")
+    p.add_argument("arpa")
+    p.add_argument("--out", default="-")
+    p.add_argument("--words", default=None)
+    p.add_argument("--disambig-symbol", default="#0")
+    p.set_defaults(func=cmd_arpa2fst)
+
+    for name, op in [
+        ("fst-copy", "copy"),
+        ("fst-determinize-star", "determinize-star"),
+        ("fst-determinize-log", "determinize-log"),
+        ("fst-minimize-encoded", "minimize-encoded"),
+        ("fst-rm-epsilon", "rm-epsilon"),
+        ("fst-push-special", "push-special"),
+        ("fst-connect", "connect"),
+        ("fst-arcsort", "arcsort"),
+    ]:
+        p = sub.add_parser(
+            name, help=f"fstbin {op} over OpenFst-text FSTs",
+        )
+        p.add_argument("in_fst")
+        p.add_argument("out_fst", nargs="?", default="-")
+        p.add_argument("--semiring", default="tropical",
+                       choices=["tropical", "log"])
+        p.add_argument("--delta", type=float, default=1e-3)
+        p.add_argument("--sort-type", default="ilabel",
+                       choices=["ilabel", "olabel"])
+        p.set_defaults(func=lambda a, op=op: cmd_fst_unary(a, op))
+
+    p = sub.add_parser(
+        "fst-compose",
+        help="fsttablecompose / fstphicompose / fstrhocompose",
+    )
+    p.add_argument("a")
+    p.add_argument("b")
+    p.add_argument("out_fst", nargs="?", default="-")
+    p.add_argument("--phi", type=int, default=0)
+    p.add_argument("--rho", type=int, default=0)
+    p.set_defaults(func=cmd_fst_compose)
+
+    p = sub.add_parser("fst-add-self-loops")
+    p.add_argument("in_fst")
+    p.add_argument("out_fst", nargs="?", default="-")
+    p.add_argument("--isyms", required=True)
+    p.add_argument("--osyms", required=True)
+    p.set_defaults(func=cmd_fst_add_self_loops)
+
+    p = sub.add_parser("fst-is-stochastic")
+    p.add_argument("in_fst")
+    p.add_argument("--delta", type=float, default=0.01)
+    p.set_defaults(func=cmd_fst_is_stochastic)
 
     args = parser.parse_args(argv)
     return args.func(args)
