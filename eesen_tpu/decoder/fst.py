@@ -908,3 +908,86 @@ def is_stochastic(fst: Fst, delta: float = 0.01) -> Tuple[bool, float, float]:
     if lo > hi:
         return True, 0.0, 0.0
     return (abs(lo) <= delta and abs(hi) <= delta), lo, hi
+
+
+def rm_symbols(fst: Fst, symbols, from_output: bool = False) -> Fst:
+    """Replace every listed symbol with epsilon on the input (default) or
+    output side (reference: src/fstbin/fstrmsymbols.cc — used to strip
+    disambiguation symbols after determinization).  Weights and topology
+    are untouched."""
+    syms = set(symbols)
+    g = fst.copy()
+    for arcs in g.arcs:
+        for a in arcs:
+            if from_output:
+                if a.olabel in syms:
+                    a.olabel = EPS
+            elif a.ilabel in syms:
+                a.ilabel = EPS
+    return g
+
+
+def propagate_final(fst: Fst, phi_label: int) -> Fst:
+    """Make every state that can reach a final state purely through
+    `phi_label` arcs final, folding the phi path weight into its final
+    weight (reference: src/fstbin/fstpropfinal.cc ->
+    fstext/fstext-utils-inl.h PropagateFinal; used so phi/failure
+    composition sees final states through backoff arcs).  Tropical
+    fixpoint: iterate until no final weight improves."""
+    g = fst.copy()
+    changed = True
+    iters = 0
+    while changed:
+        changed = False
+        iters += 1
+        if iters > g.num_states + 1:
+            break   # phi cycle with negative weight would loop; bound it
+        for s in range(g.num_states):
+            for a in g.arcs[s]:
+                if a.ilabel != phi_label:
+                    continue
+                dw = g.finals.get(a.nextstate)
+                if dw is None:
+                    continue
+                cand = a.weight + dw
+                cur = g.finals.get(s, math.inf)
+                if cand < cur - 1e-12:
+                    g.finals[s] = cand
+                    changed = True
+    return g
+
+
+def rand_fst(
+    rng,
+    n_states: int = 8,
+    n_arcs: int = 16,
+    n_syms: int = 4,
+    eps_prob: float = 0.2,
+    acyclic: bool = True,
+    final_prob: float = 0.3,
+) -> Fst:
+    """Random FST generator for property tests (reference:
+    src/fstext/rand-fst.h RandFst, src/fstbin/fstrand.cc).  `rng` is a
+    `random.Random`.  Guaranteed to have a start state and >= 1 final
+    state; acyclic=True restricts arcs to s < d (test default — matches
+    the invariant-checking test style of determinize-star-test.cc)."""
+    f = Fst()
+    for _ in range(max(n_states, 2)):
+        f.add_state()
+    f.set_start(0)
+    n = f.num_states
+    for _ in range(n_arcs):
+        if acyclic:
+            s = rng.randrange(0, n - 1)
+            d = rng.randrange(s + 1, n)
+        else:
+            s = rng.randrange(0, n)
+            d = rng.randrange(0, n)
+        il = 0 if rng.random() < eps_prob else rng.randrange(1, n_syms + 1)
+        ol = 0 if rng.random() < eps_prob else rng.randrange(1, n_syms + 1)
+        f.add_arc(s, Arc(il, ol, round(rng.uniform(0, 4), 3), d))
+    for s in range(n):
+        if rng.random() < final_prob:
+            f.set_final(s, round(rng.uniform(0, 2), 3))
+    f.set_final(n - 1, 0.0)
+    return f

@@ -1064,6 +1064,136 @@ def cmd_lattice_to_ctm_conf(args) -> int:
     return 0
 
 
+def cmd_fst_rm_symbols(args) -> int:
+    """(= fstbin/fstrmsymbols.cc): replace listed symbols with eps."""
+    from eesen_tpu.decoder.fst import rm_symbols
+
+    with open(args.symbols_list) as f:
+        syms = [int(line.split()[0]) for line in f if line.strip()]
+    g = rm_symbols(
+        _read_text_fst(args.in_fst), syms,
+        from_output=args.remove_from_output,
+    )
+    return _write_text_fst(g, args.out_fst)
+
+
+def cmd_fst_prop_final(args) -> int:
+    """(= fstbin/fstpropfinal.cc): propagate final weights through
+    phi-label arcs."""
+    from eesen_tpu.decoder.fst import propagate_final
+
+    g = propagate_final(_read_text_fst(args.in_fst), args.phi_label)
+    return _write_text_fst(g, args.out_fst)
+
+
+def cmd_fst_rand(args) -> int:
+    """(= fstbin/fstrand.cc): emit a random FST (for property tests)."""
+    import random
+
+    from eesen_tpu.decoder.fst import rand_fst
+
+    g = rand_fst(
+        random.Random(args.seed), n_states=args.n_states,
+        n_arcs=args.n_arcs, n_syms=args.n_syms,
+        acyclic=not args.allow_cycles,
+    )
+    return _write_text_fst(g, args.out_fst)
+
+
+def _read_fst_archive(path):
+    """Kaldi text-mode FST archive: `key\\n<fst text>\\n\\n` records."""
+    from eesen_tpu.decoder.fst import Fst
+
+    f = sys.stdin if path in ("-", "ark:-") else open(
+        path.split(":", 1)[-1]
+    )
+    key, buf = None, []
+    for line in f:
+        if key is None:
+            line = line.strip()
+            if line:
+                key = line
+            continue
+        if line.strip():
+            buf.append(line)
+        else:
+            yield key, Fst.from_text("".join(buf))
+            key, buf = None, []
+    if key is not None and buf:
+        yield key, Fst.from_text("".join(buf))
+    if f is not sys.stdin:
+        f.close()
+
+
+def cmd_fsts_to_transcripts(args) -> int:
+    """(= fstbin/fsts-to-transcripts.cc): best path per archived FST,
+    print its output-side (default) or input-side symbol sequence."""
+    from eesen_tpu.decoder.fst import shortest_path
+
+    out_f = sys.stdout if args.out == "-" else open(args.out, "w")
+    for key, f in _read_fst_archive(args.fsts):
+        try:
+            il, ol, _ = shortest_path(f)
+        except Exception:
+            print(f"fsts-to-transcripts: no path for {key}",
+                  file=sys.stderr)
+            continue
+        seq = ol if args.output_side else il
+        out_f.write(key + " " + " ".join(str(x) for x in seq) + "\n")
+    if out_f is not sys.stdout:
+        out_f.close()
+    return 0
+
+
+def cmd_net_initialize(args) -> int:
+    """(= netbin/net-initialize.cc): random-init a model from an
+    nnet.proto topology (utils/model_topo.py format)."""
+    import pickle
+
+    import jax
+
+    from eesen_tpu.models.model import init_model, model_num_params
+    from eesen_tpu.models.proto import parse_nnet_proto
+    from eesen_tpu.models.serialize import write_eesen_nnet
+
+    with open(args.proto) as f:
+        cfg = parse_nnet_proto(f.read())
+    params = init_model(jax.random.PRNGKey(args.seed), cfg)
+    if args.out.endswith(".nnet"):
+        write_eesen_nnet(
+            args.out, jax.tree_util.tree_map(np.asarray, params), cfg,
+            parallel=args.parallel,
+        )
+    else:
+        with open(args.out, "wb") as f:
+            pickle.dump({"params": params, "config": cfg}, f)
+    print(f"net-initialize: {args.proto} -> {args.out} "
+          f"({model_num_params(params)} params)")
+    return 0
+
+
+def cmd_model_topo(args) -> int:
+    """(= utils/model_topo.py): emit an nnet.proto topology."""
+    from eesen_tpu.models.model import AcousticModelConfig
+    from eesen_tpu.models.proto import emit_nnet_proto
+
+    cfg = AcousticModelConfig(
+        input_dim=args.input_feat_dim,
+        cell_dim=args.lstm_cell_dim,
+        num_layers=args.lstm_layer_num,
+        num_targets=args.target_num,
+        param_range=args.param_range,
+        fgate_bias=args.fgate_bias_init,
+    )
+    text = emit_nnet_proto(cfg, max_grad=args.max_grad)
+    if args.out == "-":
+        sys.stdout.write(text)
+    else:
+        with open(args.out, "w") as f:
+            f.write(text)
+    return 0
+
+
 # --------------------------------------------------------------------------
 # argument wiring
 # --------------------------------------------------------------------------
@@ -1413,6 +1543,70 @@ def main(argv=None) -> int:
     p.add_argument("in_fst")
     p.add_argument("--delta", type=float, default=0.01)
     p.set_defaults(func=cmd_fst_is_stochastic)
+
+    p = sub.add_parser(
+        "fst-rm-symbols",
+        help="replace listed symbols with epsilon (fstbin/fstrmsymbols)",
+    )
+    p.add_argument("symbols_list")
+    p.add_argument("in_fst")
+    p.add_argument("out_fst", nargs="?", default="-")
+    p.add_argument("--remove-from-output", action="store_true")
+    p.set_defaults(func=cmd_fst_rm_symbols)
+
+    p = sub.add_parser(
+        "fst-prop-final",
+        help="propagate final weights through phi arcs "
+             "(fstbin/fstpropfinal)",
+    )
+    p.add_argument("phi_label", type=int)
+    p.add_argument("in_fst")
+    p.add_argument("out_fst", nargs="?", default="-")
+    p.set_defaults(func=cmd_fst_prop_final)
+
+    p = sub.add_parser("fst-rand", help="random FST (fstbin/fstrand)")
+    p.add_argument("out_fst", nargs="?", default="-")
+    p.add_argument("--n-states", type=int, default=8)
+    p.add_argument("--n-arcs", type=int, default=16)
+    p.add_argument("--n-syms", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--allow-cycles", action="store_true")
+    p.set_defaults(func=cmd_fst_rand)
+
+    p = sub.add_parser(
+        "fsts-to-transcripts",
+        help="best-path symbol sequences from a text FST archive "
+             "(fstbin/fsts-to-transcripts)",
+    )
+    p.add_argument("fsts")
+    p.add_argument("out", nargs="?", default="-")
+    p.add_argument("--output-side", type=lambda s: s != "false",
+                   default=True)
+    p.set_defaults(func=cmd_fsts_to_transcripts)
+
+    p = sub.add_parser(
+        "net-initialize",
+        help="random-init a model from nnet.proto "
+             "(netbin/net-initialize)",
+    )
+    p.add_argument("proto")
+    p.add_argument("out")
+    p.add_argument("--seed", type=int, default=777)
+    p.add_argument("--parallel", action="store_true")
+    p.set_defaults(func=cmd_net_initialize)
+
+    p = sub.add_parser(
+        "model-topo", help="emit nnet.proto (utils/model_topo.py)",
+    )
+    p.add_argument("--input-feat-dim", type=int, required=True)
+    p.add_argument("--lstm-layer-num", type=int, required=True)
+    p.add_argument("--lstm-cell-dim", type=int, required=True)
+    p.add_argument("--target-num", type=int, required=True)
+    p.add_argument("--param-range", type=float, default=0.1)
+    p.add_argument("--fgate-bias-init", type=float, default=0.0)
+    p.add_argument("--max-grad", type=float, default=50.0)
+    p.add_argument("--out", default="-")
+    p.set_defaults(func=cmd_model_topo)
 
     args = parser.parse_args(argv)
     return args.func(args)
