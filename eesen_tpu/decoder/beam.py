@@ -96,20 +96,56 @@ class BeamSearchConfig:
     scan_unroll: int = 1
 
 
+# Dense state-indexed arc rows replace the (base+j)-indexed arc-packed
+# gather whenever the padded [N, D, 4] tables fit this byte budget: with
+# a degree cap the state id IS the offset, so the destination-offsets
+# payload (fields 4..8 of the packed rows, the [B,K,4] offs carry and
+# its per-phase take_alongs) disappears.  Measured on a 336k-state TLG
+# (v5e, B=8/32, K=512): per-frame cost is IDENTICAL to the arc-packed
+# layout (2.5-2.6 ms at B=8) — the search is sort/payload-bound, not
+# gather-bound, and the 9x larger table cancels the wider-row fetch win
+# — so the budget is kept small: small graphs get the simpler layout,
+# big graphs keep the 9x smaller packed table.
+DENSE_ROWS_BUDGET = 64 * 1024 * 1024
+
+
+def use_dense_rows(graph: CompiledGraph) -> bool:
+    return graph.dense_bytes() <= DENSE_ROWS_BUDGET
+
+
 class DeviceGraph(NamedTuple):
-    """CompiledGraph arrays as device arrays (jit operands)."""
-    emit_packed: Array    # [Ee, 8] int32
+    """CompiledGraph arrays as device arrays (jit operands).
+
+    Exactly one of the two layouts is populated (the other fields are
+    zero-size): arc-packed ([E, 8] rows indexed base+j, offsets carried
+    in the rows/active set) or dense state-indexed rows ([N, D, 4],
+    chosen by `use_dense_rows`).  The decoder branches on the populated
+    layout at trace time, so put() and make_beam_decoder agree as long
+    as both see the same graph."""
+    emit_packed: Array    # [Ee, 8] int32 (arc-packed layout)
     x_packed: Array       # [Ex, 8] int32 — closure table if built, else eps
+    emit_rows: Array      # [N, De, 4] int32 (dense layout; else [0,1,4])
+    x_rows: Array         # [N, Dx, 4] int32 (dense layout; else [0,1,4])
     hub_src: Array        # [H] int32 (may be empty)
     hub_of_arc: Array     # [Eh] int32 (hub index per hub arc)
     hub_packed: Array     # [Eh, 8] int32
     final_weight: Array   # [N] float32
 
     @classmethod
-    def put(cls, g: CompiledGraph) -> "DeviceGraph":
-        x_packed = (
-            g.closure_packed8() if g.has_closure else g.eps_packed()
-        )
+    def put(cls, g: CompiledGraph, dense: bool = None) -> "DeviceGraph":
+        if dense is None:
+            dense = use_dense_rows(g)
+        z = np.zeros((0, 1, 4), np.int32)
+        if dense:
+            emit_rows, x_rows = g.dense_rows()
+            emit_packed = np.zeros((0, 8), np.int32)
+            x_packed = np.zeros((0, 8), np.int32)
+        else:
+            emit_rows, x_rows = z, z
+            emit_packed = g.emit_packed()
+            x_packed = (
+                g.closure_packed8() if g.has_closure else g.eps_packed()
+            )
         hub_src = (
             g.hub_src if g.hub_src is not None else np.zeros(0, np.int32)
         )
@@ -123,7 +159,8 @@ class DeviceGraph(NamedTuple):
             hub_of_arc = np.zeros(0, np.int32)
             hub_packed = np.zeros((0, 8), np.int32)
         return cls(
-            jnp.asarray(g.emit_packed()), jnp.asarray(x_packed),
+            jnp.asarray(emit_packed), jnp.asarray(x_packed),
+            jnp.asarray(emit_rows), jnp.asarray(x_rows),
             jnp.asarray(hub_src), jnp.asarray(hub_of_arc),
             jnp.asarray(hub_packed),
             jnp.asarray(g.final_weight),
@@ -139,6 +176,36 @@ class BeamOutputs(NamedTuple):
     overflow: Array     # [B] int32 count of dropped olabels (should be 0)
     lat_mask: Array     # [T, B, K] bool: token within lattice_beam of the
     #                     frame best (all-finite if lattice_beam == 0)
+
+
+def _expand_dense(
+    states: Array, scores: Array, rows_tbl: Array,
+) -> Tuple[Array, Array, Array, Array, Array]:
+    """Dense-layout expansion: ONE [D*4]-lane row gather by state id.
+
+    states [B,K] (-1 = dead), scores [B,K], rows_tbl [N, D, 4] ->
+    [B,K*D] (dst, score, ilabel, olabel, d_offs [B,K*D,0]).  Padding
+    slots in the table carry weight=+inf and dead slots carry score=inf,
+    so invalid proposals are inf with no mask arithmetic."""
+    b, k = scores.shape
+    n, d, _ = rows_tbl.shape
+    m = k * d
+    sid = jnp.clip(states, 0, max(n - 1, 0))
+    rows = rows_tbl[sid]                              # [B,K,D,4]
+    il = rows[..., 0]
+    ol = rows[..., 1]
+    w = jax.lax.bitcast_convert_type(rows[..., 2], jnp.float32)
+    dst = rows[..., 3]
+    score = scores[..., None] + w                     # inf-padding prunes
+    fin = jnp.isfinite(score)
+    il = jnp.where(fin, il, 0)
+    ol = jnp.where(fin, ol, 0)
+    dst = jnp.where(fin, dst, 0)
+    return (
+        dst.reshape(b, m), score.reshape(b, m),
+        il.reshape(b, m), ol.reshape(b, m),
+        jnp.zeros((b, m, 0), jnp.int32),
+    )
 
 
 def _expand(
@@ -275,6 +342,7 @@ def make_beam_decoder(
     -> BeamOutputs.  (_internals exposes the chunked entry points for
     StreamingBeamDecoder.)"""
     k = cfg.max_active
+    dense = use_dense_rows(graph)
     d_e = max(graph.max_emit_degree, 1)
     use_closure = graph.has_closure
     d_x = max(
@@ -288,7 +356,11 @@ def make_beam_decoder(
     beam = cfg.beam
     scale = cfg.acoustic_scale
     start_state = graph.start
-    start_offs = tuple(int(x) for x in graph.state_offs(graph.start))
+    n_off = 0 if dense else 4
+    start_offs = (
+        () if dense
+        else tuple(int(x) for x in graph.state_offs(graph.start))
+    )
     approx = cfg.approx_top_k
     light = cfg.light_eps_dedup
     light_emit = cfg.light_emit_dedup
@@ -330,15 +402,21 @@ def make_beam_decoder(
     def _x_step(carry_in, do_full_dedup):
         """One eps/closure expansion merged with the carried set."""
         states, scores, offs, parent, olab, overflow = carry_in
-        dst, pscore, _, exp_ol, d_offs = _expand(
-            offs, scores, dg_holder[0].x_packed, d_x, which=1
-        )
+        if dense:
+            dst, pscore, _, exp_ol, d_offs = _expand_dense(
+                states, scores, dg_holder[0].x_rows
+            )
+        else:
+            dst, pscore, _, exp_ol, d_offs = _expand(
+                offs, scores, dg_holder[0].x_packed, d_x, which=1
+            )
         exp_ol = jnp.where(jnp.isfinite(pscore), exp_ol, 0)
         b = states.shape[0]
+        d_x_eff = pscore.shape[1] // k
         src_slot = jnp.repeat(
             jnp.arange(k, dtype=jnp.int32)[None, :], b, 0
         )
-        src_of_prop = jnp.repeat(src_slot, d_x, axis=1)
+        src_of_prop = jnp.repeat(src_slot, d_x_eff, axis=1)
         exp_parent = jnp.take_along_axis(parent, src_of_prop, axis=1)
         exp_olab = jnp.take_along_axis(
             olab, src_of_prop[..., None], axis=1
@@ -399,9 +477,11 @@ def make_beam_decoder(
         """Start-state active set after the initial eps closure."""
         states0 = jnp.full((b, k), -1, jnp.int32).at[:, 0].set(start_state)
         scores0 = jnp.full((b, k), jnp.inf, jnp.float32).at[:, 0].set(0.0)
-        offs0 = jnp.zeros((b, k, 4), jnp.int32).at[:, 0, :].set(
-            jnp.asarray(start_offs, jnp.int32)
-        )
+        offs0 = jnp.zeros((b, k, n_off), jnp.int32)
+        if not dense:
+            offs0 = offs0.at[:, 0, :].set(
+                jnp.asarray(start_offs, jnp.int32)
+            )
         parent0 = jnp.repeat(jnp.arange(k, dtype=jnp.int32)[None], b, 0)
         olab0 = jnp.zeros((b, k, L), jnp.int32)
         overflow0 = jnp.zeros((b,), jnp.int32)
@@ -415,16 +495,22 @@ def make_beam_decoder(
             states, scores, offs, overflow = carry
             ll_t, act = inp        # [B, V], [B] bool
             b = states.shape[0]
-            dst, pscore, il, ol, d_offs = _expand(
-                offs, scores, dg.emit_packed, d_e, which=0
-            )
+            if dense:
+                dst, pscore, il, ol, d_offs = _expand_dense(
+                    states, scores, dg.emit_rows
+                )
+            else:
+                dst, pscore, il, ol, d_offs = _expand(
+                    offs, scores, dg.emit_packed, d_e, which=0
+                )
             col = jnp.clip(il - 1, 0, v - 1)            # tid-1 shift
             ac = _acoustic_lookup(ll_t, col, scale)
             pscore = jnp.where(jnp.isfinite(pscore), pscore + ac, INF)
             slot_idx = jnp.repeat(
                 jnp.arange(k, dtype=jnp.int32)[None, :], b, 0
             )
-            parent_e = jnp.repeat(slot_idx, d_e, axis=1)    # [B, K*D]
+            d_e_eff = pscore.shape[1] // k
+            parent_e = jnp.repeat(slot_idx, d_e_eff, axis=1)  # [B, K*D]
 
             if has_hubs:
                 # dense expansion of hub-state arcs: contiguous vector
@@ -455,11 +541,11 @@ def make_beam_decoder(
                     [ol, jnp.broadcast_to(ol_h[None], (b, eh))], axis=1
                 )
                 parent_e = jnp.concatenate([parent_e, par_h], axis=1)
-                d_offs = jnp.concatenate(
-                    [d_offs,
-                     jnp.broadcast_to(hp[None, :, 4:8], (b, eh, 4))],
-                    axis=1,
+                hub_offs = (
+                    jnp.zeros((b, eh, 0), jnp.int32) if dense
+                    else jnp.broadcast_to(hp[None, :, 4:8], (b, eh, 4))
                 )
+                d_offs = jnp.concatenate([d_offs, hub_offs], axis=1)
 
             if light_emit:
                 e_states, e_scores, e_idx = _topk_prune(dst, pscore, k)
@@ -513,7 +599,19 @@ def make_beam_decoder(
             mask = finite
         return st, sc, par, ol, mask
 
+    def _check_layout(dg: DeviceGraph):
+        have_dense = dg.emit_rows.shape[0] > 0
+        if dense != have_dense:
+            raise ValueError(
+                f"decoder was built for the "
+                f"{'dense-rows' if dense else 'arc-packed'} layout but the "
+                f"DeviceGraph holds the other; build it with "
+                f"DeviceGraph.put(graph) (auto) or put(graph, "
+                f"dense={dense})"
+            )
+
     def decode(loglikes: Array, lengths: Array, dg: DeviceGraph) -> BeamOutputs:
+        _check_layout(dg)
         dg_holder[0] = dg
         b, t_max, v = loglikes.shape
         states0, scores0, offs0, overflow0, init_olab = init_active_set(b)
@@ -529,6 +627,7 @@ def make_beam_decoder(
         return BeamOutputs(st, sc, par, ol, init_olab, overflow, lm)
 
     def init_chunk(b: int, dg: DeviceGraph):
+        _check_layout(dg)
         dg_holder[0] = dg
         states0, scores0, offs0, overflow0, init_olab = init_active_set(b)
         return (states0, scores0, offs0, overflow0), init_olab
@@ -536,6 +635,7 @@ def make_beam_decoder(
     def decode_chunk(carry, loglikes: Array, active: Array, dg: DeviceGraph):
         """One chunk of a streaming decode: carry from init_chunk /
         previous chunk, loglikes [B, Tc, V], active [B, Tc] bool."""
+        _check_layout(dg)
         dg_holder[0] = dg
         b, t_c, v = loglikes.shape
         frame = make_frame(dg, v)

@@ -157,6 +157,66 @@ class CompiledGraph:
                 )
         return self._hub_packed8
 
+    def _dense_from_csr(self, off, il, ol, w, dst) -> np.ndarray:
+        """CSR -> state-indexed fixed-width rows [N, D, 4] int32
+        (il, ol, weight_bits, dst).  Padding slots carry weight = +inf so
+        padded proposals die in the beam with NO validity mask or degree
+        bookkeeping: score = src_score + inf = inf."""
+        n = self.num_states
+        deg = off[1:] - off[:-1]
+        d = max(int(deg.max()) if len(deg) else 0, 1)
+        rows = np.zeros((n, d, 4), np.int32)
+        rows[:, :, 2] = F32_INF.view(np.int32)
+        if len(dst):
+            src = np.repeat(np.arange(n, dtype=np.int64), deg)
+            pos = np.arange(len(dst), dtype=np.int64) - off[:-1][src]
+            rows[src, pos, 0] = il
+            rows[src, pos, 1] = ol
+            rows[src, pos, 2] = w.astype(np.float32).view(np.int32)
+            rows[src, pos, 3] = dst
+        return rows
+
+    def dense_rows(self) -> Tuple[np.ndarray, np.ndarray]:
+        """State-indexed arc tables for the dense-row decode path:
+        (emit_rows [N, De, 4], x_rows [N, Dx, 4]) — x = closure if built,
+        else eps.  One [N, D*4]-lane row gather by STATE ID replaces the
+        (base + j)-indexed row gather from the arc-packed tables plus the
+        entire destination-offsets payload: with a degree cap every
+        state's arc block has a fixed width, so the state id IS the
+        offset.  Costs padding memory (N*D vs E arc rows); the decoder
+        auto-selects this layout only when it fits a byte budget."""
+        if not hasattr(self, "_dense_rows"):
+            emit = self._dense_from_csr(
+                self.emit_offsets, self.emit_ilabel, self.emit_olabel,
+                self.emit_weight, self.emit_dst,
+            )
+            if self.has_closure:
+                cp = self.closure_packed
+                if cp is None or len(cp) == 0:
+                    x = np.zeros((self.num_states, 1, 4), np.int32)
+                    x[:, :, 2] = F32_INF.view(np.int32)
+                else:
+                    x = self._dense_from_csr(
+                        self.closure_offsets, cp[:, 0], cp[:, 1],
+                        cp[:, 2].view(np.float32), cp[:, 3],
+                    )
+            else:
+                x = self._dense_from_csr(
+                    self.eps_offsets, np.zeros_like(self.eps_dst),
+                    self.eps_olabel, self.eps_weight, self.eps_dst,
+                )
+            self._dense_rows = (emit, x)
+        return self._dense_rows
+
+    def dense_bytes(self) -> int:
+        de = max(self.max_emit_degree, 1)
+        dx = max(
+            self.max_closure_degree if self.has_closure
+            else self.max_eps_degree,
+            1,
+        )
+        return self.num_states * (de + dx) * 16
+
     def offsets_packed(self) -> Tuple[np.ndarray, np.ndarray]:
         """([N, 2] int32 (emit base, emit degree),
         [N, 2] int32 (eps base, eps degree))."""

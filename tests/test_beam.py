@@ -317,3 +317,54 @@ def test_streaming_matches_offline(tlg):
     for (w1, c1), (w2, c2) in zip(ref, res):
         assert w1 == w2, (w1, w2)
         np.testing.assert_allclose(c1, c2, rtol=1e-5, atol=1e-4)
+
+
+def test_packed_layout_matches_dense(tlg, monkeypatch):
+    """The arc-packed (offsets-carrying) layout and the dense
+    state-indexed rows layout are two encodings of the same search;
+    words, costs, and per-frame score sets must agree.  (Small test
+    graphs auto-select dense, so this test pins BOTH paths.)"""
+    import eesen_tpu.decoder.beam as beam_mod
+
+    lang, fst = tlg
+    rng = np.random.default_rng(3)
+    ll = synth_loglikes(
+        rng, lang, ["a", "<blk>", "b", "b", "a"], t_per=2, noise=1.0
+    )
+    for closure in (False, True):
+        g = compile_graph(fst, max_degree=8, build_closure=closure)
+        cfg = BeamSearchConfig(beam=14.0, max_active=64,
+                               acoustic_scale=0.9)
+        args = (jnp.asarray(ll[None]), jnp.asarray([ll.shape[0]]))
+
+        monkeypatch.setattr(beam_mod, "DENSE_ROWS_BUDGET", 10**15)
+        assert beam_mod.use_dense_rows(g)
+        out_d = make_beam_decoder(g, cfg)(*args, DeviceGraph.put(g))
+
+        monkeypatch.setattr(beam_mod, "DENSE_ROWS_BUDGET", 0)
+        assert not beam_mod.use_dense_rows(g)
+        out_p = make_beam_decoder(g, cfg)(*args, DeviceGraph.put(g))
+
+        (wd, cd), = traceback(out_d, np.asarray([ll.shape[0]]),
+                              g.final_weight)
+        (wp, cp), = traceback(out_p, np.asarray([ll.shape[0]]),
+                              g.final_weight)
+        assert wd == wp and abs(cd - cp) < 1e-4
+        sd = np.sort(np.asarray(out_d.scores), axis=-1)
+        sp = np.sort(np.asarray(out_p.scores), axis=-1)
+        fin = np.isfinite(sd) & np.isfinite(sp)
+        np.testing.assert_allclose(sd[fin], sp[fin], atol=1e-4)
+        assert (np.isfinite(sd) == np.isfinite(sp)).all()
+
+
+def test_layout_mismatch_raises(tlg):
+    import eesen_tpu.decoder.beam as beam_mod
+
+    lang, fst = tlg
+    g = compile_graph(fst, max_degree=8)
+    assert beam_mod.use_dense_rows(g)       # tiny graph
+    dec = make_beam_decoder(g, BeamSearchConfig(max_active=16))
+    dg_packed = DeviceGraph.put(g, dense=False)
+    ll = jnp.zeros((1, 4, 8))
+    with pytest.raises(ValueError, match="layout"):
+        dec(ll, jnp.asarray([4]), dg_packed)
