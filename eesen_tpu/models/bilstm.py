@@ -130,18 +130,25 @@ def _direction_scan(
     cfg: BiLstmConfig,
     rec_drop_mask: Optional[Array],
 ) -> Array:
-    """One direction's recurrence. x: [B, T, D] (already time-reversed for the
-    backward direction); mask: [B, T] float 0/1; returns m: [B, T, H]."""
-    b, t_max, _ = x.shape
+    """One direction's recurrence, TIME-MAJOR: x [T, B, D] (already
+    time-flipped for the backward direction), mask [T, B] float 0/1,
+    rec_drop_mask [T or 1, B, H]; returns m [T, B, H].
+
+    Time-major is the layout both consumers want — lax.scan carries it
+    natively and the Pallas kernel streams [block_t, B, D] blocks — so
+    the stack does NO per-layer transposes (the round-2 profile showed
+    ~0.5 ms/layer of pure moveaxis/copy glue in the batch-major
+    version)."""
+    t_max, b, _ = x.shape
     h = cfg.cell_dim
     cdt = cfg.compute_dtype
 
     if rec_drop_mask is None and _pallas_enabled(cfg):
         # fully fused kernel: input projection + recurrence in one
         # pallas_call, W_x/W_m resident in VMEM (ops/lstm_pallas.py v2)
-        from eesen_tpu.ops.lstm_pallas import lstm_direction_fused
+        from eesen_tpu.ops.lstm_pallas import lstm_direction_fused_tm
 
-        return lstm_direction_fused(
+        return lstm_direction_fused_tm(
             x, mask, p["w_gifo_x"], p["bias"], p["w_gifo_m"],
             p["phole_i_c"], p["phole_f_c"], p["phole_o_c"],
         ) * mask[:, :, None]
@@ -149,11 +156,11 @@ def _direction_scan(
     # big input projection for all steps at once (MXU)
     xw = (
         jnp.einsum(
-            "btd,dgh->btgh", x.astype(cdt), p["w_gifo_x"].astype(cdt),
+            "tbd,dgh->tbgh", x.astype(cdt), p["w_gifo_x"].astype(cdt),
             preferred_element_type=jnp.float32,
         )
         + p["bias"]
-    )  # [B, T, 4, H] float32
+    )  # [T, B, 4, H] float32
 
     w_m = p["w_gifo_m"].astype(cdt)
     ph_i, ph_f, ph_o = p["phole_i_c"], p["phole_f_c"], p["phole_o_c"]
@@ -189,39 +196,32 @@ def _direction_scan(
         jnp.zeros((b, h), jnp.float32),
     )
     if rec_drop_mask is None:
-        xs = (jnp.moveaxis(xw, 1, 0), jnp.moveaxis(mask, 1, 0))
-
         def step2(carry, inp):
             return step(carry, (*inp, None))
 
-        _, ms = jax.lax.scan(step2, init, xs)
+        _, ms = jax.lax.scan(step2, init, (xw, mask))
     else:
-        xs = (
-            jnp.moveaxis(xw, 1, 0),
-            jnp.moveaxis(mask, 1, 0),
-            jnp.moveaxis(rec_drop_mask, 1, 0),
+        rd = jnp.broadcast_to(
+            rec_drop_mask, (t_max, b, rec_drop_mask.shape[-1])
         )
-        _, ms = jax.lax.scan(step, init, xs)
-    return jnp.moveaxis(ms, 0, 1)  # [B, T, H]
+        _, ms = jax.lax.scan(step, init, (xw, mask, rd))
+    return ms  # [T, B, H]
 
 
 def _dropout_mask(
     key: Array, rate: float, per_step: bool, b: int, t: int, d: int
 ) -> Array:
-    """Bernoulli keep-mask scaled by 1/keep. Per-sequence masks broadcast over
-    time (one draw per utterance), matching the reference's *_sequence_*
-    dropout variants."""
+    """Bernoulli keep-mask scaled by 1/keep, TIME-MAJOR [T or 1, B, D].
+    Per-sequence masks have a length-1 time axis (one draw per utterance,
+    broadcast over time), matching the reference's *_sequence_* dropout
+    variants."""
     keep = 1.0 - rate
-    if per_step:
-        m = jax.random.bernoulli(key, keep, (b, t, d))
-    else:
-        m = jnp.broadcast_to(
-            jax.random.bernoulli(key, keep, (b, 1, d)), (b, t, d)
-        )
+    shape = (t, b, d) if per_step else (1, b, d)
+    m = jax.random.bernoulli(key, keep, shape)
     return m.astype(jnp.float32) / keep
 
 
-def bilstm_layer(
+def bilstm_layer_tm(
     params: Params,
     x: Array,
     lengths: Array,
@@ -230,10 +230,18 @@ def bilstm_layer(
     train: bool = False,
     rng: Optional[Array] = None,
 ) -> Array:
-    """Apply one BiLSTM layer. x: [B, T, D] -> [B, T, 2H]."""
-    b, t_max, _ = x.shape
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (b, t_max), 1)
-    mask = (t_iota < lengths[:, None]).astype(jnp.float32)
+    """Apply one BiLSTM layer, time-major. x: [T, B, D] -> [T, B, 2H].
+
+    The backward direction runs on the WHOLE-ARRAY time flip (padding
+    frames first): the mask freezes the zero-initialized carry through
+    the padded prefix, so the state trajectory over valid frames is
+    identical to a per-length reversal (bilstm-parallel-layer.h
+    PropagateFncVanillaPassBackward semantics) at zero gather cost —
+    jnp.flip is a contiguous copy, per-length reversal was a
+    take_along_axis gather."""
+    t_max, b, _ = x.shape
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (t_max, b), 0)
+    mask = (t_iota < lengths[None, :]).astype(jnp.float32)
 
     rd_fw = rd_bw = None
     if train and cfg.recurrent_dropout > 0.0:
@@ -258,9 +266,10 @@ def bilstm_layer(
 
     m_fw = _direction_scan(params["fw"], x, mask, cfg, rd_fw)
 
-    x_rev = _reverse_by_length(x, lengths)
-    m_bw_rev = _direction_scan(params["bw"], x_rev, mask, cfg, rd_bw)
-    m_bw = _reverse_by_length(m_bw_rev, lengths)
+    x_rev = jnp.flip(x, axis=0)
+    mask_rev = jnp.flip(mask, axis=0)
+    m_bw_rev = _direction_scan(params["bw"], x_rev, mask_rev, cfg, rd_bw)
+    m_bw = jnp.flip(m_bw_rev, axis=0)
 
     y = jnp.concatenate([m_fw, m_bw], axis=-1)
 
@@ -274,3 +283,20 @@ def bilstm_layer(
         y = y * fd
 
     return y * mask[:, :, None]
+
+
+def bilstm_layer(
+    params: Params,
+    x: Array,
+    lengths: Array,
+    cfg: BiLstmConfig,
+    *,
+    train: bool = False,
+    rng: Optional[Array] = None,
+) -> Array:
+    """Batch-major convenience wrapper: [B, T, D] -> [B, T, 2H].
+    The model stack runs time-major (bilstm_layer_tm) end to end."""
+    y = bilstm_layer_tm(
+        params, jnp.moveaxis(x, 0, 1), lengths, cfg, train=train, rng=rng
+    )
+    return jnp.moveaxis(y, 0, 1)

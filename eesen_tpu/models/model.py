@@ -17,7 +17,9 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from eesen_tpu.models.bilstm import BiLstmConfig, bilstm_layer, init_bilstm_layer
+from eesen_tpu.models.bilstm import (
+    BiLstmConfig, bilstm_layer, bilstm_layer_tm, init_bilstm_layer,
+)
 
 Array = jax.Array
 Params = Dict[str, Any]
@@ -93,25 +95,30 @@ def apply_model(
     train: bool = False,
     rng: Optional[Array] = None,
 ) -> Array:
-    """feats: [B, T, input_dim] -> logits [B, T, num_targets]."""
-    x = feats
+    """feats: [B, T, input_dim] -> logits [B, T, num_targets].
+
+    The stack runs TIME-MAJOR internally (one transpose in, one out):
+    both the Pallas LSTM kernel and lax.scan stream [T, B, D] natively,
+    so per-layer moveaxis copies disappear (round-2 profile: ~2 ms/step
+    of glue on the 4x320 flagship)."""
+    x = jnp.moveaxis(feats, 0, 1)                       # [T, B, D]
     for i in range(cfg.num_layers):
         lrng = None
         if rng is not None:
             rng, lrng = jax.random.split(rng)
-        x = bilstm_layer(
+        x = bilstm_layer_tm(
             params["layers"][i], x, lengths, cfg.layer_cfg(i),
             train=train, rng=lrng,
         )
     cdt = cfg.compute_dtype
     logits = (
         jnp.einsum(
-            "btd,dv->btv", x.astype(cdt), params["out"]["w"].astype(cdt),
+            "tbd,dv->tbv", x.astype(cdt), params["out"]["w"].astype(cdt),
             preferred_element_type=jnp.float32,
         )
         + params["out"]["b"]
     )
-    return logits
+    return jnp.moveaxis(logits, 0, 1)                   # [B, T, V]
 
 
 def model_num_params(params: Params) -> int:

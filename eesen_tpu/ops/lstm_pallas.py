@@ -700,21 +700,45 @@ def lstm_direction_fused(
     block_t: int = 8,
     interpret: bool = False,
 ) -> Array:
-    """Pad to tiles, run the fused-projection kernel, unpad.
+    """Batch-major wrapper over lstm_direction_fused_tm.
     Returns m [B, T, H] f32."""
-    b, t_max, d = x.shape
+    m = lstm_direction_fused_tm(
+        jnp.moveaxis(x, 0, 1), jnp.moveaxis(mask, 0, 1),
+        w_gifo_x, bias, w_gifo_m, ph_i, ph_f, ph_o, block_t, interpret,
+    )
+    return jnp.moveaxis(m, 0, 1)
+
+
+def lstm_direction_fused_tm(
+    x: Array,        # [T, B, D] (already time-flipped for the bw direction)
+    mask: Array,     # [T, B] f32
+    w_gifo_x: Array,  # [D, 4, H]
+    bias: Array,      # [4, H]
+    w_gifo_m: Array,  # [H, 4, H]
+    ph_i: Array, ph_f: Array, ph_o: Array,  # [H]
+    block_t: int = 8,
+    interpret: bool = False,
+) -> Array:
+    """Time-major entry: pad to tiles ONLY when needed, run the fused
+    kernel, unpad.  Returns m [T, B, H] f32.  For the flagship shapes
+    (T mult of block_t, B mult of 8, D mult of 128 on stacked layers)
+    the input needs no copy at all — the round-2 profile showed the
+    zero+set repack costing ~0.5 ms/layer."""
+    t_max, b, d = x.shape
     h = w_gifo_m.shape[0]
     hp = _round_up(h, 128)
     dp = _round_up(d, 128)
     bp = _round_up(b, 8)
     tp = _round_up(t_max, block_t)
 
-    xt = jnp.zeros((tp, bp, dp), jnp.bfloat16)
-    xt = xt.at[:t_max, :b, :d].set(
-        jnp.moveaxis(x, 0, 1).astype(jnp.bfloat16)
-    )
-    mk = jnp.zeros((tp, bp, 1), jnp.float32)
-    mk = mk.at[:t_max, :b, 0].set(jnp.moveaxis(mask, 0, 1))
+    if (tp, bp, dp) == (t_max, b, d):
+        xt = x.astype(jnp.bfloat16)
+        mk = mask[:, :, None]
+    else:
+        xt = jnp.zeros((tp, bp, dp), jnp.bfloat16)
+        xt = xt.at[:t_max, :b, :d].set(x.astype(jnp.bfloat16))
+        mk = jnp.zeros((tp, bp, 1), jnp.float32)
+        mk = mk.at[:t_max, :b, 0].set(mask)
     wx = jnp.pad(
         w_gifo_x, ((0, dp - d), (0, 0), (0, hp - h))
     ).reshape(dp, 4 * hp)
@@ -728,7 +752,7 @@ def lstm_direction_fused(
         jnp.pad(ph_o, (0, hp - h)),
     ])
     m = lstm_fused(xt, mk, wx, bs, wm, ph, block_t, interpret)
-    return jnp.moveaxis(m[:t_max, :b, :h], 0, 1)
+    return m[:t_max, :b, :h]
 
 
 # --------------------------------------------------------------------------

@@ -57,7 +57,8 @@ def create_train_state(
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx
 
 
-def _obj_and_metrics(params, batch, model_cfg, rng, train, loss="ctc"):
+def _obj_and_metrics(params, batch, model_cfg, rng, train, loss="ctc",
+                     with_argmax=True):
     """Unnormalized objective sum + monitor metrics for one batch.
 
     loss="ctc": per-utterance CTC negative log-likelihood (the reference's
@@ -70,33 +71,34 @@ def _obj_and_metrics(params, batch, model_cfg, rng, train, loss="ctc"):
         params, batch["feats"], batch["feat_lengths"], model_cfg,
         train=train, rng=rng,
     )
-    argmax = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    metrics = {}
+    if with_argmax:
+        # the greedy-decode TER monitor input; EXPENSIVE on TPU relative
+        # to the step (~2.8 ms for [32,768,72] on v5e — a non-128 reduce
+        # axis lowers poorly), so the trainer requests it only on the
+        # batches whose TER it will actually compute (cfg.ter_step)
+        metrics["argmax"] = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if loss == "ce":
         t = logits.shape[1]
         _, m = ce_loss(logits, batch["feat_lengths"], batch["labels"][:, :t])
-        metrics = {
-            "obj_sum": m["obj_sum"],
-            "frames": m["frames"],
-            "correct": m["correct"],
-            "argmax": argmax,
-        }
+        metrics.update(
+            obj_sum=m["obj_sum"], frames=m["frames"], correct=m["correct"],
+        )
         return m["obj_sum"], metrics
     nll = ctc_loss(
         logits, batch["feat_lengths"], batch["labels"],
         batch["label_lengths"],
     )
-    frames = jnp.sum(batch["feat_lengths"])
-    metrics = {
-        "obj_sum": jnp.sum(nll),
-        "frames": frames,
-        "argmax": argmax,
-    }
+    metrics.update(
+        obj_sum=jnp.sum(nll), frames=jnp.sum(batch["feat_lengths"]),
+    )
     return jnp.sum(nll), metrics
 
 
-def _loss_and_metrics(params, batch, model_cfg, rng, train, loss="ctc"):
+def _loss_and_metrics(params, batch, model_cfg, rng, train, loss="ctc",
+                      with_argmax=True):
     obj, metrics = _obj_and_metrics(params, batch, model_cfg, rng, train,
-                                    loss)
+                                    loss, with_argmax)
     frames = metrics["frames"]
     return obj / jnp.maximum(frames, 1).astype(obj.dtype), metrics
 
@@ -106,6 +108,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     donate: bool = True,
     loss: str = "ctc",
+    with_argmax: bool = False,
 ) -> Callable:
     """Returns jitted train_step(state, batch, rng, learn_rate) ->
     (state, metrics).
@@ -122,7 +125,7 @@ def make_train_step(
     def train_step(state: TrainState, batch, rng, learn_rate):
         def loss_fn(p):
             return _loss_and_metrics(p, batch, model_cfg, rng, True,
-                                     loss_kind)
+                                     loss_kind, with_argmax)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -147,6 +150,7 @@ def make_shard_map_train_step(
     mesh: Mesh,
     donate: bool = True,
     loss: str = "ctc",
+    with_argmax: bool = False,
 ) -> Callable:
     """Train step as `shard_map`: MANUAL data parallelism (explicit
     gradient pmean over the `data` axis) with the `model` axis left to the
@@ -168,7 +172,7 @@ def make_shard_map_train_step(
     def local_step(state: TrainState, batch, rng, learn_rate):
         def loss_fn(p):
             obj, metrics = _obj_and_metrics(
-                p, batch, model_cfg, rng, True, loss_kind
+                p, batch, model_cfg, rng, True, loss_kind, with_argmax
             )
             # normalize by GLOBAL frame count so every shard computes the
             # same objective scale
@@ -206,8 +210,9 @@ def make_shard_map_train_step(
         )
 
     b_specs = batch_pspec()
-    metric_specs = {"obj_sum": P(), "frames": P(), "argmax": P("data"),
-                    "loss": P()}
+    metric_specs = {"obj_sum": P(), "frames": P(), "loss": P()}
+    if with_argmax:
+        metric_specs["argmax"] = P("data")
     if loss == "ce":
         metric_specs["correct"] = P()
 
@@ -278,9 +283,15 @@ class Trainer:
             self.train_step = make_shard_map_train_step(
                 cfg.model, self.tx, mesh, loss=cfg.loss
             )
+            self.train_step_ter = make_shard_map_train_step(
+                cfg.model, self.tx, mesh, loss=cfg.loss, with_argmax=True
+            )
         else:
             self.train_step = make_train_step(cfg.model, self.tx,
                                               loss=cfg.loss)
+            self.train_step_ter = make_train_step(
+                cfg.model, self.tx, loss=cfg.loss, with_argmax=True
+            )
         self.eval_step = make_eval_step(cfg.model, loss=cfg.loss)
         self.sched = NewbobScheduler(cfg.newbob)
 
@@ -327,7 +338,16 @@ class Trainer:
                 dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
             if train:
                 self.rng, step_rng = jax.random.split(self.rng)
-                self.state, metrics = self.train_step(
+                # the argmax-bearing variant only on TER batches: the
+                # [B,T,V] argmax costs ~10% of a step on TPU (see
+                # _obj_and_metrics); CE needs no argmax at all
+                want_ter_now = (n + 1) % ter_step == 0
+                step_fn = (
+                    self.train_step_ter
+                    if want_ter_now and self.cfg.loss != "ce"
+                    else self.train_step
+                )
+                self.state, metrics = step_fn(
                     self.state, dev_batch, step_rng,
                     jnp.float32(learn_rate),
                 )

@@ -32,7 +32,11 @@ def run_pallas(params, xw, mask):
 
 
 def run_xla(cfg, params, x, mask):
-    return _direction_scan(params, x, mask, cfg, None)
+    # _direction_scan is time-major; tests are written batch-major
+    m = _direction_scan(
+        params, jnp.moveaxis(x, 0, 1), jnp.moveaxis(mask, 0, 1), cfg, None
+    )
+    return jnp.moveaxis(m, 0, 1)
 
 
 @pytest.mark.parametrize("seed", [0, 1])
@@ -61,7 +65,9 @@ def test_grads_match_xla():
         return jnp.sum((m * valid) ** 2)
 
     def loss_xla(p):
-        m = _direction_scan(p, x, mask, cfg, None)
+        m = jnp.moveaxis(_direction_scan(
+            p, jnp.moveaxis(x, 0, 1), jnp.moveaxis(mask, 0, 1), cfg, None
+        ), 0, 1)
         return jnp.sum((m * valid) ** 2)
 
     g_pl = jax.grad(loss_pl)(params)
@@ -120,7 +126,9 @@ def test_fused_grads_match_xla():
         return jnp.sum((m * valid) ** 2)
 
     def loss_xla(p, xx):
-        m = _direction_scan(p, xx, mask, cfg, None)
+        m = jnp.moveaxis(_direction_scan(
+            p, jnp.moveaxis(xx, 0, 1), jnp.moveaxis(mask, 0, 1), cfg, None
+        ), 0, 1)
         return jnp.sum((m * valid) ** 2)
 
     g_pl, gx_pl = jax.grad(loss_pl, argnums=(0, 1))(params, x)

@@ -59,7 +59,7 @@ def test_toy_convergence():
     )
     opt = OptimizerConfig(algorithm="adagrad", max_grad=50.0)
     state, tx = create_train_state(jax.random.PRNGKey(0), cfg, opt)
-    step = make_train_step(cfg, tx, donate=False)
+    step = make_train_step(cfg, tx, donate=False, with_argmax=True)
     rng = np.random.default_rng(0)
     batch = _toy_batch(rng, 8, 24, 8, 6)
     dev = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -219,3 +219,43 @@ def test_frame_labels_batching():
     (b,) = list(make_batches(utts, cfg))
     assert b["labels"].shape[1] == b["feats"].shape[1] == 32
     assert b["label_lengths"][0] == b["feat_lengths"][0]
+
+
+@pytest.mark.parametrize("algo", ["sgd", "adagrad", "rmsprop"])
+def test_flat_optimizer_matches_tree(algo):
+    """The flat (single-vector) optimizer is numerically identical to the
+    per-leaf optax chain — same transforms, same values, one layout."""
+    import optax
+    from eesen_tpu.models.model import init_model
+    from eesen_tpu.training.optim import make_optimizer
+
+    cfg = AcousticModelConfig(
+        input_dim=6, cell_dim=8, num_layers=2, num_targets=5,
+        compute_dtype=jnp.float32,
+    )
+    params = init_model(jax.random.PRNGKey(0), cfg)
+    ocfg = OptimizerConfig(algorithm=algo, momentum=0.9, max_grad=1.0)
+
+    results = []
+    for flat in (False, True):
+        tx = make_optimizer(ocfg, flat=flat)
+        p = params
+        st = tx.init(p)
+        st = st._replace(
+            hyperparams=dict(st.hyperparams, learning_rate=jnp.float32(0.1))
+        )
+        for i in range(5):
+            g_rng = np.random.default_rng(100 + i)   # same grads both runs
+            grads = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(
+                    g_rng.standard_normal(a.shape).astype(np.float32) * 3.0
+                ),
+                p,
+            )
+            upd, st = tx.update(grads, st, p)
+            p = optax.apply_updates(p, upd)
+        results.append(p)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+        results[0], results[1],
+    )
