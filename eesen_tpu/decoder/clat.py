@@ -497,3 +497,152 @@ def determinize_lattice_pruned(
             n_arcs += 1
     out.start = 0
     return out
+
+
+# --------------------------------------------------------------------------
+# push + minimize (reference: src/lat/push-lattice.{h,cc},
+# src/lat/minimize-lattice.{h,cc} — called after pruned determinization to
+# canonicalize and shrink lattices)
+# --------------------------------------------------------------------------
+
+def _common_prefix(strings: List[IString]) -> IString:
+    if not strings:
+        return ()
+    first = min(strings, key=len)
+    k = len(first)
+    for s in strings:
+        j = 0
+        while j < k and s[j] == first[j]:
+            j += 1
+        k = j
+        if k == 0:
+            return ()
+    return tuple(first[:k])
+
+
+def push_strings(clat: CompactLattice) -> None:
+    """Push ilabel (frame-alignment) strings as far toward the start as
+    they will go (reference: PushCompactLatticeStrings,
+    src/lat/push-lattice.h:38 — OpenFst's generic push does not apply in
+    this semiring because ⊕ does not divide the operands).  In-place;
+    reverse-topological one-pass, exact on acyclic lattices."""
+    order = clat.topo_order()
+    prefix: List[IString] = [()] * clat.num_states
+    for s in reversed(order):
+        items = [
+            tuple(a.ilabels) + prefix[a.nextstate] for a in clat.arcs[s]
+        ]
+        if s in clat.finals:
+            items.append(tuple(clat.finals[s][2]))
+        pfx = () if s == clat.start else _common_prefix(items)
+        prefix[s] = pfx
+        for a in clat.arcs[s]:
+            full = tuple(a.ilabels) + prefix[a.nextstate]
+            a.ilabels = full[len(pfx):]
+        if s in clat.finals:
+            g, ac, il = clat.finals[s]
+            clat.finals[s] = (g, ac, tuple(il)[len(pfx):])
+
+
+def push_weights(clat: CompactLattice) -> None:
+    """Push (graph, acoustic) weights toward the start so every state but
+    the start "sums to one" in the LatticeWeight semiring — i.e. the
+    ⊕-sum (min by total cost, graph tie-break) of its outgoing ⊗ suffix
+    weights is (0, 0) (reference: PushCompactLatticeWeights,
+    src/lat/push-lattice.h:51).  In-place; exact on acyclic lattices."""
+    order = clat.topo_order()
+    n = clat.num_states
+    resid: List[Pair] = [(0.0, 0.0)] * n
+    for s in reversed(order):
+        cands: List[Pair] = []
+        for a in clat.arcs[s]:
+            rg, ra = resid[a.nextstate]
+            cands.append((a.graph_cost + rg, a.acoustic_cost + ra))
+        if s in clat.finals:
+            g, ac, _ = clat.finals[s]
+            cands.append((g, ac))
+        if not cands or s == clat.start:
+            # the start state is never divided (it carries the total path
+            # weight) but its arcs still absorb the successors' residuals
+            w = (0.0, 0.0)
+        else:
+            w = cands[0]
+            for c in cands[1:]:
+                if pair_compare(c, w) < 0:
+                    w = c
+        resid[s] = w
+        for a in clat.arcs[s]:
+            rg, ra = resid[a.nextstate]
+            a.graph_cost += rg - w[0]
+            a.acoustic_cost += ra - w[1]
+        if s in clat.finals:
+            g, ac, il = clat.finals[s]
+            clat.finals[s] = (g - w[0], ac - w[1], il)
+    # the start state keeps the whole path weight: fold residuals of the
+    # start's successors into its arcs (done above via resid[dst]); the
+    # start's own residual stays un-divided by construction
+
+
+def minimize(clat: CompactLattice, delta: float = 1.0 / 1024.0
+             ) -> CompactLattice:
+    """Suffix-sharing minimization of a determinized (acyclic) lattice
+    (reference: MinimizeCompactLattice, src/lat/minimize-lattice.h:42 —
+    'to be called after determinization and pushing').  States with
+    identical outgoing signatures (word, quantized costs, ilabels,
+    successor class, final weight) merge; exact on acyclic input via one
+    reverse-topological signature pass."""
+    order = clat.topo_order()
+    n = clat.num_states
+    rep: List[int] = [0] * n          # state -> class id
+    classes: Dict[tuple, int] = {}
+    q = lambda x: round(x / delta)
+    for s in reversed(order):
+        fin = clat.finals.get(s)
+        sig_fin = (
+            None if fin is None
+            else (q(fin[0]), q(fin[1]), tuple(fin[2]))
+        )
+        sig = (
+            sig_fin,
+            tuple(sorted(
+                (a.word, q(a.graph_cost), q(a.acoustic_cost),
+                 tuple(a.ilabels), rep[a.nextstate])
+                for a in clat.arcs[s]
+            )),
+        )
+        if sig not in classes:
+            classes[sig] = len(classes)
+        rep[s] = classes[sig]
+    # rebuild: one state per class reachable from the start's class
+    out = CompactLattice()
+    class_state: Dict[int, int] = {}
+
+    def get_state(c: int) -> int:
+        if c not in class_state:
+            class_state[c] = out.add_state()
+        return class_state[c]
+
+    done = set()
+    stack = [clat.start]
+    out.start = get_state(rep[clat.start])
+    src_of_class = {}
+    for s in order:               # first representative in topo order
+        src_of_class.setdefault(rep[s], s)
+    while stack:
+        s = stack.pop()
+        c = rep[s]
+        if c in done:
+            continue
+        done.add(c)
+        s0 = src_of_class[c]
+        os_ = get_state(c)
+        for a in clat.arcs[s0]:
+            dc = rep[a.nextstate]
+            out.arcs[os_].append(CompactArc(
+                a.word, a.graph_cost, a.acoustic_cost, tuple(a.ilabels),
+                get_state(dc),
+            ))
+            stack.append(a.nextstate)
+        if s0 in clat.finals:
+            out.finals[os_] = clat.finals[s0]
+    return out

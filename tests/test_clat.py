@@ -259,3 +259,118 @@ class TestCompactOps:
         assert len(_clat_paths(clat)) == 2
         clat.prune(3.0)
         assert {p[0] for p in _clat_paths(clat)} == {(5,)}
+
+
+class TestPushMinimize:
+    """push-lattice + minimize-lattice (reference: src/lat/push-lattice.cc,
+    src/lat/minimize-lattice.cc) — path-set invariance + canonical-form
+    properties on determinized random lattices."""
+
+    def _det_clat(self, seed):
+        rng = random.Random(seed)
+        lat = _random_lattice(rng)
+        if not _enumerate_paths(lat):
+            return None
+        return determinize_lattice_pruned(lat, lattice_beam=1e9)
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_push_strings_invariant(self, seed):
+        from eesen_tpu.decoder.clat import push_strings
+
+        clat = self._det_clat(seed)
+        if clat is None:
+            return
+        before = sorted(_clat_paths(clat))
+        push_strings(clat)
+        assert sorted(_clat_paths(clat)) == before
+        # canonical: no non-start state has a common first token over
+        # all its outgoing strings + final string
+        for s in range(clat.num_states):
+            if s == clat.start:
+                continue
+            heads = [a.ilabels[0] for a in clat.arcs[s] if a.ilabels]
+            n_items = len(clat.arcs[s]) + (1 in [1] if s in clat.finals else 0)
+            if s in clat.finals:
+                fin = clat.finals[s][2]
+                if fin:
+                    heads.append(fin[0])
+            total = len(clat.arcs[s]) + (1 if s in clat.finals else 0)
+            if total >= 1 and len(heads) == total and heads:
+                assert len(set(heads)) > 1 or total == 1 and not heads
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_push_weights_invariant_and_stochastic(self, seed):
+        from eesen_tpu.decoder.clat import push_weights
+
+        clat = self._det_clat(seed)
+        if clat is None:
+            return
+        before = sorted(_clat_paths(clat))
+        push_weights(clat)
+        after = sorted(_clat_paths(clat))
+        assert len(after) == len(before)
+        for (bw, bi, bg, ba), (aw, ai, ag, aa) in zip(before, after):
+            assert bw == aw and bi == ai
+            assert ag + aa == pytest.approx(bg + ba, abs=1e-6)
+        # every non-start state's best outgoing suffix weight is (0, 0)
+        # in total cost (the 'sums to one' canonical form)
+        suffix_best = {}
+        for s in reversed(clat.topo_order()):
+            cands = []
+            for a in clat.arcs[s]:
+                cands.append(
+                    a.graph_cost + a.acoustic_cost
+                    + suffix_best[a.nextstate]
+                )
+            if s in clat.finals:
+                g, a_, _ = clat.finals[s]
+                cands.append(g + a_)
+            suffix_best[s] = min(cands) if cands else 0.0
+            if cands and s != clat.start:
+                assert min(cands) == pytest.approx(0.0, abs=1e-6)
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_minimize_preserves_paths_and_shrinks(self, seed):
+        from eesen_tpu.decoder.clat import (
+            minimize, push_strings, push_weights,
+        )
+
+        clat = self._det_clat(seed)
+        if clat is None:
+            return
+        before = sorted(_clat_paths(clat))
+        push_strings(clat)
+        push_weights(clat)
+        small = minimize(clat)
+        assert small.num_states <= clat.num_states
+        assert sorted(_clat_paths(small)) == sorted(_clat_paths(clat))
+        # ... and path multiset equals the pre-push one up to weight
+        # redistribution along each path
+        after = sorted(_clat_paths(small))
+        assert len(after) == len(before)
+        for (bw, bi, bg, ba), (aw, ai, ag, aa) in zip(before, after):
+            assert bw == aw and bi == ai
+            assert ag + aa == pytest.approx(bg + ba, abs=1e-4)
+
+    def test_minimize_merges_shared_suffix(self):
+        from eesen_tpu.decoder.clat import minimize
+        from eesen_tpu.decoder.clat import CompactArc, CompactLattice
+
+        # two prefixes reaching two DISTINCT but equivalent suffix states
+        clat = CompactLattice()
+        for _ in range(5):
+            clat.add_state()
+        clat.start = 0
+        clat.arcs[0].append(CompactArc(1, 0.5, 0.0, (1,), 1))
+        clat.arcs[0].append(CompactArc(2, 0.7, 0.0, (2,), 2))
+        clat.arcs[1].append(CompactArc(3, 0.1, 0.2, (3, 3), 3))
+        clat.arcs[2].append(CompactArc(3, 0.1, 0.2, (3, 3), 4))
+        clat.finals[3] = (0.0, 0.0, ())
+        clat.finals[4] = (0.0, 0.0, ())
+        small = minimize(clat)
+        assert small.num_states == 3   # {0}, {1,2}? no: 1,2 differ by arc
+        # states 3 and 4 merge (identical final), then 1 and 2 share the
+        # same successor class but have different incoming words -> they
+        # also merge (identical outgoing signature)
+        paths = sorted(_clat_paths(small))
+        assert [p[0] for p in paths] == [(1, 3), (2, 3)]
