@@ -161,6 +161,58 @@ def main():
     with open(os.path.join(args.workdir, "results.json"), "w") as f:
         json.dump(res, f, indent=2)
     print("RESULT", json.dumps(res), flush=True)
+    write_results_md(res, sweep, hist)
+
+
+def write_results_md(res, sweep, hist):
+    """RESULTS.md at the repo root: the per-recipe RESULTS file the
+    reference publishes (e.g. asr_egs/wsj/RESULTS), for the one corpus
+    that can ship with this repo (no LDC/OpenSLR data in the build
+    environment — the wsj/librispeech/swbd/tedlium/hkust preps in
+    recipes/data_prep.py are ready for the real corpora)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    lines = [
+        "# RESULTS — synthetic formant corpus (flagship end-to-end run)",
+        "",
+        "The environment has no LDC/OpenSLR corpora (zero egress), so the",
+        "end-to-end WER evidence runs on `recipes/synth_corpus.py`: a",
+        "formant-synthesis corpus with a Zipf word distribution, through",
+        "the FULL pipeline the reference runs on WSJ",
+        "(asr_egs/wsj/run_ctc_phn.sh): wav -> fbank+CMVN+deltas -> 4x320",
+        "BiLSTM-CTC -> bigram LM from training text -> TLG -> batched TPU",
+        "beam decode ONCE -> acwt sweep by lattice rescaling -> WER.",
+        "Corpus preps for the real corpora are implemented and mock-tested",
+        "(`recipes/data_prep.py`, `tests/test_data_prep.py`); plug in the",
+        "corpus tarballs and `RecipeRun` reproduces the reference recipes.",
+        "",
+        f"- train: {res['train_utts']} utts ({res['train_hours']} h), "
+        f"eval: {res['eval_utts']} utts ({res['eval_audio_s']} audio-s)",
+        f"- final cv token accuracy: {res['final_cv_acc']:.2f}%",
+        f"- decode+sweep wall time: {res['decode_sweep_s']} s "
+        "(decode once, rescale lattices per acwt)",
+        "",
+        "| acwt | WER |",
+        "|---|---|",
+    ]
+    for acwt in sorted(sweep):
+        mark = " **(best)**" if acwt == res["best_acwt"] else ""
+        lines.append(f"| {acwt} | {sweep[acwt].wer:.2f}%{mark} |")
+    lines += [
+        "",
+        f"Best: **{res['wer']:.2f}% WER** at acwt {res['best_acwt']} "
+        f"({res['wer_report']}).",
+        "",
+        "Reference WER targets on real corpora (BASELINE.md) remain the",
+        "parity goals once real data is available: WSJ eval92 7.28%",
+        "(asr_egs/wsj/RESULTS:11), LibriSpeech dev_clean 7.44%",
+        "(asr_egs/librispeech/RESULTS:5).",
+        "",
+        "Reproduce: `python examples/synth_recipe.py /tmp/synth_recipe`",
+        "",
+    ]
+    with open(os.path.join(root, "RESULTS.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote RESULTS.md", flush=True)
 
 
 if __name__ == "__main__":
