@@ -868,6 +868,16 @@ uint8_t* compile_graph_native(const Fst& in, int max_degree,
   int64_t eh = 0;
   for (auto& r : hub_rows) eh += (int64_t)r.size();
 
+  // fail fast before packing: every table is int32-indexed on device;
+  // a closure blow-up (dense backoff graphs) or a >2^31-arc graph must
+  // surface as an error, not a corrupt buffer (negative lengths on the
+  // Python side).
+  const int64_t kMax = 2147000000;
+  if (n >= kMax || ee >= kMax || en >= kMax || ec >= kMax || eh >= kMax) {
+    *out_len = 0;
+    return nullptr;
+  }
+
   CompiledBuf cb;
   cb.buf.reserve(96 + (n + 1) * 8 + ee * 16 + en * 12 + n * 4 +
                  hub_src.size() * 8 + eh * 16 + (build_closure ? (n + 1) * 4 + ec * 16 : 0));
@@ -1002,7 +1012,27 @@ int fstlib_build_tlg_compiled(const uint8_t* in_t, const uint8_t* in_lg,
   Fst tlg = compose(unpack(in_t), unpack(in_lg));
   *out = compile_graph_native(tlg, max_degree, hub_threshold,
                               build_closure, out_len);
-  return 0;
+  return *out ? 0 : -3;   // -3: table exceeds int32 device indexing
+}
+
+// Full graph build in ONE call: LG = minimize(determinize_star_log(
+// L o G)); out = device tables of compose(T, LG).  Only L/G/T cross the
+// Python boundary (the 10M-arc LG round trip through Python objects
+// cost ~1.5 min at WSJ-tg scale on the split path).
+int fstlib_build_full(const uint8_t* in_t, const uint8_t* in_l,
+                      const uint8_t* in_g,
+                      int max_degree, int hub_threshold, int build_closure,
+                      uint8_t** out, size_t* out_len) {
+  if (max_degree < 2) return -1;
+  bool ok = true;
+  Fst lg = compose(unpack(in_l), unpack(in_g));
+  lg = determinize_star(lg, true, 50000000, &ok);
+  if (!ok) return -2;
+  lg = minimize_encoded(lg);
+  Fst tlg = compose(unpack(in_t), lg);
+  *out = compile_graph_native(tlg, max_degree, hub_threshold,
+                              build_closure, out_len);
+  return *out ? 0 : -3;
 }
 
 void fstlib_free(uint8_t* p) { free(p); }
@@ -1015,7 +1045,7 @@ int fstlib_compile_graph(const uint8_t* in, int max_degree,
   if (max_degree < 2) return -1;
   *out = compile_graph_native(unpack(in), max_degree, hub_threshold,
                               build_closure, out_len);
-  return 0;
+  return *out ? 0 : -3;
 }
 
 }  // extern "C"

@@ -274,6 +274,28 @@ def build_tlg(t_fst: Fst, lg: Fst) -> Fst:
     return fnat.compose(t_fst, lg)
 
 
+def build_full_compiled(
+    t_fst: Fst, l_fst: Fst, g_fst: Fst,
+    max_degree: int = 16, hub_threshold: int = 0,
+    build_closure: bool = True,
+):
+    """The full TLG build (LG = min(det_log(L∘G)), then T∘LG compiled to
+    device tables) in one native call when available — the LM-scale path
+    where no multi-million-arc intermediate crosses the Python boundary.
+    Falls back to build_lg + build_tlg_compiled."""
+    from eesen_tpu.decoder import fst_native as fnat
+
+    if fnat.build_full_available():
+        return fnat.build_full_compiled(
+            t_fst, l_fst, g_fst, max_degree, hub_threshold, build_closure
+        )
+    lg = build_lg(l_fst, g_fst)
+    return build_tlg_compiled(
+        t_fst, lg, max_degree=max_degree, hub_threshold=hub_threshold,
+        build_closure=build_closure,
+    )
+
+
 def build_tlg_compiled(
     t_fst: Fst, lg: Fst,
     max_degree: int = 16, hub_threshold: int = 0,

@@ -192,6 +192,45 @@ def build_lg_fused(l: pyfst.Fst, g: pyfst.Fst) -> Optional[pyfst.Fst]:
         #              falls back to the step-by-step path
 
 
+def build_full_available() -> bool:
+    lib = _get_lib()
+    return lib is not None and hasattr(lib, "fstlib_build_full")
+
+
+def build_full_compiled(
+    t: pyfst.Fst, l: pyfst.Fst, g: pyfst.Fst,
+    max_degree: int, hub_threshold: int, build_closure: bool,
+):
+    """The whole graph build — LG = min(det_log(L∘G)), then T∘LG
+    compiled to device tables — in ONE native call.  Only T/L/G cross
+    the Python boundary; the multi-million-arc LG/TLG intermediates
+    stay in C++ (WSJ-tg scale: the LG Python round trip alone cost
+    ~1.5 min on the split path)."""
+    lib = _get_lib()
+    assert lib is not None and hasattr(lib, "fstlib_build_full")
+    lib.fstlib_build_full.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.fstlib_build_full.restype = ctypes.c_int
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_size_t()
+    rc = lib.fstlib_build_full(
+        pack_fst(t), pack_fst(l), pack_fst(g),
+        max_degree, hub_threshold, int(build_closure),
+        ctypes.byref(out), ctypes.byref(out_len),
+    )
+    if rc != 0:
+        raise RuntimeError(f"fstlib_build_full failed rc={rc}")
+    try:
+        buf = ctypes.string_at(out, out_len.value)
+    finally:
+        lib.fstlib_free(out)
+    return _parse_compiled(buf)
+
+
 def compile_graph_available() -> bool:
     lib = _get_lib()
     return lib is not None and hasattr(lib, "fstlib_compile_graph")
@@ -244,6 +283,12 @@ def compile_graph_native(
 
     lib = _get_lib()
     assert lib is not None and hasattr(lib, "fstlib_compile_graph")
+    lib.fstlib_compile_graph.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.fstlib_compile_graph.restype = ctypes.c_int
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_size_t()
     rc = lib.fstlib_compile_graph(

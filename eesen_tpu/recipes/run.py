@@ -216,12 +216,11 @@ class RecipeRun:
             with open(path, "rb") as f:
                 self.graph = pickle.load(f)
             return self.graph
-        from eesen_tpu.decoder.ctc_graph import build_lg, build_tlg_compiled
+        from eesen_tpu.decoder.ctc_graph import build_full_compiled
 
         g = arpa_to_fst(arpa_path_or_text, self.lang.words)
-        lg = build_lg(self.lang.l_fst, g)
-        self.graph = build_tlg_compiled(
-            self.lang.t_fst, lg, build_closure=True
+        self.graph = build_full_compiled(
+            self.lang.t_fst, self.lang.l_fst, g, build_closure=True
         )
         with open(path, "wb") as f:
             pickle.dump(self.graph, f)

@@ -197,3 +197,34 @@ ngram 1=4
     _, ol, _ = shortest_path(c)
     words = [lang.words.sym(o) for o in ol]
     assert words == ["ab", "ba"], words
+
+
+def test_build_full_compiled_matches_split_path():
+    """The one-native-call full build (fstlib_build_full) must produce
+    the same device tables as build_lg + build_tlg_compiled."""
+    from eesen_tpu.decoder.arpa import arpa_to_fst
+    from eesen_tpu.decoder.ctc_graph import (
+        build_full_compiled, build_tlg_compiled,
+    )
+
+    lang = compile_lang(LEXICON, UNITS, dict_type="phn")
+    g = arpa_to_fst(ARPA, lang.words)
+    lg = build_lg(lang.l_fst, g)
+    split = build_tlg_compiled(lang.t_fst, lg, max_degree=8,
+                               build_closure=True)
+    fused = build_full_compiled(lang.t_fst, lang.l_fst, g, max_degree=8,
+                                build_closure=True)
+    assert fused.num_states == split.num_states
+    assert fused.num_emit_arcs == split.num_emit_arcs
+    import numpy as np
+    np.testing.assert_array_equal(fused.emit_offsets, split.emit_offsets)
+    np.testing.assert_array_equal(fused.emit_ilabel, split.emit_ilabel)
+    np.testing.assert_array_equal(fused.emit_dst, split.emit_dst)
+    np.testing.assert_allclose(fused.emit_weight, split.emit_weight,
+                               atol=1e-6)
+    np.testing.assert_allclose(fused.final_weight, split.final_weight,
+                               atol=1e-6)
+    if split.closure_packed is not None:
+        np.testing.assert_array_equal(
+            fused.closure_offsets, split.closure_offsets
+        )
