@@ -122,7 +122,10 @@ class RecipeRun:
         max_n = max(len(w) for w in waves.values())
         bucket = 1 << max(int(np.ceil(np.log2(max(max_n, 1024)))), 10)
         keys = sorted(waves)
-        fbatch = 16
+        # big chunks: the per-call host<->device round trip costs ~0.5 s
+        # over the axon tunnel regardless of payload, so fewer, larger
+        # batches win (64 x 8 s f32 waves = ~33 MB/call, well under limits)
+        fbatch = 64
         for i in range(0, len(keys), fbatch):
             chunk = keys[i : i + fbatch]
             wp = np.zeros((fbatch, bucket), np.float32)
@@ -255,15 +258,30 @@ class RecipeRun:
         return lp, lens
 
     def _run_search(self, feats, keys, cfg, batch_size):
-        """Batched beam search over `keys`; yields (chunk, lp, lens, out).
-        Retries a chunk once with doubled olabel capacity when the
-        per-frame word-emission buffer overflowed (the silent-truncation
-        hazard the overflow counter exists to catch)."""
+        """Batched beam search over `keys`; yields (chunk, lp, lens, out,
+        skip_cost).  With cfg.blank_skip > 0, blank-dominated frames are
+        compacted away first (decoder/frame_skip.py) and lp/lens are the
+        COMPACTED posteriors the search actually saw; skip_cost [B] is
+        the path-independent acoustic cost of the skipped frames (None
+        when skipping is off).  Retries a chunk once with doubled olabel
+        capacity when the per-frame word-emission buffer overflowed (the
+        silent-truncation hazard the overflow counter exists to catch)."""
+        from eesen_tpu.decoder.frame_skip import compact_blank_frames
+
         decoder = make_beam_decoder(self.graph, cfg)
         dg = DeviceGraph.put(self.graph)
         for i in range(0, len(keys), batch_size):
             chunk = keys[i : i + batch_size]
             lp, lens = self._posteriors(feats, chunk)
+            skip_cost = None
+            if cfg.blank_skip > 0.0:
+                cf = compact_blank_frames(
+                    lp, lens, cfg.blank_skip, cfg.acoustic_scale,
+                    cfg.blank_skip_bucket,
+                )
+                lp = cf.loglikes
+                lens = np.asarray(cf.lengths)
+                skip_cost = np.asarray(cf.skipped_cost)
             out = decoder(lp, jnp.asarray(lens), dg)
             n_over = int(np.asarray(out.overflow).sum())
             if n_over > 0:
@@ -278,7 +296,7 @@ class RecipeRun:
                 out = make_beam_decoder(self.graph, wide)(
                     lp, jnp.asarray(lens), dg
                 )
-            yield chunk, lp, lens, out
+            yield chunk, lp, lens, out, skip_cost
 
     def decode(
         self,
@@ -295,7 +313,7 @@ class RecipeRun:
             cfg = dataclasses.replace(cfg, acoustic_scale=acoustic_scale)
         words = self.lang.words
         hyps: Dict[str, List[str]] = {}
-        for chunk, lp, lens, out in self._run_search(
+        for chunk, lp, lens, out, _skip in self._run_search(
             feats, sorted(feats), cfg, batch_size
         ):
             for j, (wids, cost) in enumerate(
@@ -317,7 +335,13 @@ class RecipeRun:
         re-decoding (reference: DecodeUtteranceLatticeFaster decodes,
         determinizes in the pair semiring, unscales by 1/acwt, writes —
         decoder-wrappers.cc:87-107; scoring then sweeps by lattice-scale,
-        local/score.sh:44-55)."""
+        local/score.sh:44-55).
+
+        With cfg.blank_skip > 0 the lattices span the COMPACTED frame
+        axis (blank-dominated frames removed); word sequences, path
+        rankings and acwt sweeps are unchanged (the skipped frames cost
+        every path the same constant), but per-frame CTM timings refer
+        to kept frames only."""
         from eesen_tpu.decoder.clat import determinize_lattice_pruned
         from eesen_tpu.decoder.lattice import lattice_from_beam
 
@@ -329,7 +353,7 @@ class RecipeRun:
         cfg = dataclasses.replace(self.cfg.decode, lattice_beam=lbeam)
         acwt = cfg.acoustic_scale
         lats: Dict[str, object] = {}
-        for chunk, lp, lens, out in self._run_search(
+        for chunk, lp, lens, out, _skip in self._run_search(
             feats, sorted(feats), cfg, batch_size
         ):
             ll = np.asarray(lp)

@@ -43,14 +43,16 @@ from eesen_tpu.training.schedule import NewbobConfig
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("workdir", nargs="?", default="/tmp/synth_recipe")
-    ap.add_argument("--utts", type=int, default=800)
+    ap.add_argument("--utts", type=int, default=2500)
     ap.add_argument("--cv", type=int, default=64)
     ap.add_argument("--eval", type=int, default=100)
-    # repeats per newbob epoch: ~1h of synthetic audio needs several
-    # passes per epoch for CTC to break out of all-blank before the
-    # schedule starts halving (the reference's corpora are 80-300h, so
-    # one pass per epoch suffices there)
-    ap.add_argument("--epochs-repeat", type=int, default=8)
+    # repeats per newbob epoch: ~2h of synthetic audio needs a few passes
+    # per epoch so CTC breaks out of all-blank before the schedule starts
+    # halving (the reference's corpora are 80-300h, so one pass per epoch
+    # suffices there).  Escape-probe grid (BENCH_NOTES round 2d): rmsprop
+    # lr=5e-4 escapes within ONE 2-pass epoch (cv 94%); adagrad 0.02-0.05
+    # needs 4-5 epochs; adagrad 0.12 diverges.
+    ap.add_argument("--epochs-repeat", type=int, default=4)
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
@@ -82,8 +84,8 @@ def main():
         model=AcousticModelConfig(
             input_dim=120, cell_dim=320, num_layers=4, num_targets=-1,
         ),
-        optimizer=OptimizerConfig(algorithm="adagrad", max_grad=50.0),
-        newbob=NewbobConfig(learn_rate=0.05, max_iters=12, min_iters=6),
+        optimizer=OptimizerConfig(algorithm="rmsprop", max_grad=50.0),
+        newbob=NewbobConfig(learn_rate=5e-4, max_iters=12, min_iters=6),
         batch=BatchConfig(num_sequence=16, frame_limit=25000, time_quant=256),
         decode=BeamSearchConfig(beam=17.0, max_active=512, funnel_mult=2,
                                 acoustic_scale=0.9, lattice_beam=8.0),
