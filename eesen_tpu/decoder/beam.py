@@ -94,6 +94,17 @@ class BeamSearchConfig:
     # loop iteration amortizes it U-fold at the cost of a bigger program
     # (compile time scales with U; diminishing returns past 4)
     scan_unroll: int = 1
+    # blank-frame skipping (phone-synchronous decoding): frames whose
+    # blank posterior exceeds this threshold are compacted away BEFORE
+    # the search (decoder/frame_skip.py) — they shift every path by the
+    # same constant, so hypotheses/lattice rankings are unchanged while
+    # decode cost drops by the blank rate (typically 2-5x on converged
+    # CTC models).  Applied by the recipe driver, not by the search
+    # program itself.  0 disables.
+    blank_skip: float = 0.0
+    # kept-frame counts are rounded up to this bucket so repeated decode
+    # calls reuse a few compiled search programs
+    blank_skip_bucket: int = 64
 
 
 # Dense state-indexed arc rows replace the (base+j)-indexed arc-packed
@@ -735,7 +746,6 @@ def make_sharded_beam_decoder(
     be divisible by the axis size.  Each shard runs the identical search
     program on its slice — no cross-chip communication is needed, so
     scaling is linear in chips."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     base = make_beam_decoder(graph, cfg)
@@ -744,11 +754,11 @@ def make_sharded_beam_decoder(
         olabels=P(None, axis), init_olabels=P(axis), overflow=P(axis),
         lat_mask=P(None, axis),
     )
-    f = shard_map(
+    f = jax.shard_map(
         base, mesh=mesh,
         in_specs=(P(axis), P(axis), P()),
         out_specs=out_specs,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(f)
 
