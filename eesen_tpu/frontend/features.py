@@ -319,16 +319,25 @@ def fbank(
     return feats
 
 
+def _xp(*arrays):
+    """numpy for host inputs, jnp for device arrays/tracers — the
+    per-utterance pipeline calls (recipes, CLI tools) stay on host (each
+    un-jitted device op costs a tunnel round-trip at corpus scale) while
+    in-jit callers keep tracing through jnp."""
+    return jnp if any(isinstance(a, jax.Array) for a in arrays) else np
+
+
 def compute_deltas(feats: Array, order: int = 2, window: int = 2) -> Array:
     """[..., T, D] -> [..., T, D*(order+1)]; edge frames replicated
     (reference: feature-functions.cc DeltaFeatures::Process)."""
+    xp = _xp(feats)
     filters = delta_filters(order, window)
     outs = [feats]
     t = feats.shape[-2]
     for k in range(1, order + 1):
         kern = filters[k]
         off = (len(kern) - 1) // 2
-        acc = jnp.zeros_like(feats)
+        acc = xp.zeros_like(feats)
         for j in range(-off, off + 1):
             scale = float(kern[j + off])
             if scale == 0.0:
@@ -336,18 +345,19 @@ def compute_deltas(feats: Array, order: int = 2, window: int = 2) -> Array:
             src = np.clip(np.arange(t) + j, 0, t - 1)
             acc = acc + scale * feats[..., src, :]
         outs.append(acc)
-    return jnp.concatenate(outs, axis=-1)
+    return xp.concatenate(outs, axis=-1)
 
 
 def splice_frames(feats: Array, left: int, right: int) -> Array:
     """[..., T, D] -> [..., T, D*(left+1+right)], edges replicated
     (reference: feature-functions.cc SpliceFrames)."""
+    xp = _xp(feats)
     t = feats.shape[-2]
     outs = []
     for j in range(-left, right + 1):
         src = np.clip(np.arange(t) + j, 0, t - 1)
         outs.append(feats[..., src, :])
-    return jnp.concatenate(outs, axis=-1)
+    return xp.concatenate(outs, axis=-1)
 
 
 def subsample_frames(feats: Array, n: int, offset: int = 0) -> Array:
@@ -362,31 +372,36 @@ def subsample_frames(feats: Array, n: int, offset: int = 0) -> Array:
 
 def cmvn_stats(feats: Array, weights: Optional[Array] = None) -> Array:
     """Accumulate stats [2, D+1]: row 0 = sum + count, row 1 = sumsq + 0."""
+    xp = _xp(feats, weights)
     if weights is None:
-        s = jnp.sum(feats, axis=tuple(range(feats.ndim - 1)))
-        sq = jnp.sum(jnp.square(feats), axis=tuple(range(feats.ndim - 1)))
-        count = jnp.asarray(
+        s = xp.sum(feats, axis=tuple(range(feats.ndim - 1)))
+        sq = xp.sum(xp.square(feats), axis=tuple(range(feats.ndim - 1)))
+        count = xp.asarray(
             np.prod(feats.shape[:-1]), dtype=feats.dtype
         )
     else:
         w = weights[..., None]
-        s = jnp.sum(feats * w, axis=tuple(range(feats.ndim - 1)))
-        sq = jnp.sum(jnp.square(feats) * w, axis=tuple(range(feats.ndim - 1)))
-        count = jnp.sum(weights)
-    top = jnp.concatenate([s, count[None]])
-    bot = jnp.concatenate([sq, jnp.zeros((1,), feats.dtype)])
-    return jnp.stack([top, bot])
+        s = xp.sum(feats * w, axis=tuple(range(feats.ndim - 1)))
+        sq = xp.sum(xp.square(feats) * w, axis=tuple(range(feats.ndim - 1)))
+        count = xp.sum(weights)
+    top = xp.concatenate([s, count[None]])
+    bot = xp.concatenate([sq, xp.zeros((1,), feats.dtype)])
+    return xp.stack([top, bot])
 
 
 def apply_cmvn(feats: Array, stats: Array, norm_vars: bool = True) -> Array:
     """Apply mean (and optionally variance) normalization
     (reference: src/feat/cmvn.cc ApplyCmvn; var floor 1e-20)."""
+    xp = _xp(feats, stats)
     dim = stats.shape[-1] - 1
     count = stats[0, dim]
     mean = stats[0, :dim] / count
     if norm_vars:
-        var = stats[1, :dim] / count - jnp.square(mean)
-        scale = jax.lax.rsqrt(jnp.maximum(var, 1e-20))
+        var = stats[1, :dim] / count - xp.square(mean)
+        if xp is jnp:
+            scale = jax.lax.rsqrt(jnp.maximum(var, 1e-20))
+        else:
+            scale = 1.0 / np.sqrt(np.maximum(var, 1e-20))
     else:
-        scale = jnp.ones_like(mean)
+        scale = xp.ones_like(mean)
     return (feats - mean) * scale

@@ -138,3 +138,34 @@ def test_cmvn_roundtrip():
     np.testing.assert_allclose(y.std(axis=0), 1.0, atol=1e-2)
     y2 = np.asarray(apply_cmvn(x, stats, norm_vars=False))
     np.testing.assert_allclose(y2.mean(axis=0), 0.0, atol=1e-4)
+
+
+def test_host_numpy_path_matches_device_path():
+    """The pipeline ops dispatch to numpy for host inputs (per-utterance
+    recipe calls must not pay a device round-trip each); both paths must
+    agree."""
+    from eesen_tpu.frontend.features import _xp
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((40, 13)).astype(np.float32)
+    assert _xp(x) is np and _xp(jnp.asarray(x)) is jnp
+
+    for fn, args in [
+        (compute_deltas, (2, 2)),
+        (splice_frames, (2, 1)),
+        (subsample_frames, (3, 1)),
+    ]:
+        host = fn(x, *args)
+        dev = fn(jnp.asarray(x), *args)
+        assert isinstance(host, np.ndarray)
+        np.testing.assert_allclose(host, np.asarray(dev), rtol=1e-6)
+
+    st_h = cmvn_stats(x)
+    st_d = cmvn_stats(jnp.asarray(x))
+    assert isinstance(st_h, np.ndarray)
+    np.testing.assert_allclose(st_h, np.asarray(st_d), rtol=1e-5)
+    for nv in (True, False):
+        h = apply_cmvn(x, st_h, norm_vars=nv)
+        d = apply_cmvn(jnp.asarray(x), st_d, norm_vars=nv)
+        assert isinstance(h, np.ndarray)
+        np.testing.assert_allclose(h, np.asarray(d), rtol=1e-4, atol=1e-5)
