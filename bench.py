@@ -111,6 +111,7 @@ def bench_decode(deadline: float):
     )
     from eesen_tpu.decoder.ctc_graph import build_lg, build_tlg, compile_lang
     from eesen_tpu.decoder.arpa import arpa_to_fst
+    from eesen_tpu.decoder.frame_skip import compact_blank_frames
     from eesen_tpu.decoder.graph_compile import compile_graph
     from eesen_tpu.recipes.lm import estimate_bigram_arpa
     from eesen_tpu.recipes.synth_corpus import SynthConfig, make_lexicon
@@ -132,10 +133,27 @@ def bench_decode(deadline: float):
     g = compile_graph(fst, max_degree=8, build_closure=True)
     dg = DeviceGraph.put(g)
 
-    b, t, v = 8, 100, 1 + scfg.num_phones
-    ll = rng.standard_normal((b, t, v)).astype(np.float32) * 0.5
-    peaks = rng.integers(0, v, (b, t))
-    ll[np.arange(b)[:, None], np.arange(t)[None, :], peaks] += 5.0
+    # realistic converged-CTC posteriors: word paths from the lexicon,
+    # 1-2 spike frames per phone followed by 3-8 saturated blank frames
+    # (a ~10 ms-frame phone lasts ~8 frames and a trained model spikes
+    # 1-2 of them — real blank rates are 70-90%), so the blank-skip
+    # production path is measured on representative content
+    b, t, v = 8, 512, 1 + scfg.num_phones
+    ll = np.zeros((b, t, v), np.float32)
+    for i in range(b):
+        frames = []
+        while len(frames) < t:
+            for ph in lex[int(rng.integers(0, len(lex)))][1]:
+                col = lang.tokens[ph] - 1
+                for _ in range(int(rng.integers(1, 3))):
+                    x = rng.standard_normal(v).astype(np.float32) * 0.4
+                    x[col] += 7.0
+                    frames.append(x)
+                for _ in range(int(rng.integers(3, 9))):
+                    x = rng.standard_normal(v).astype(np.float32) * 0.4
+                    x[0] += 12.0
+                    frames.append(x)
+        ll[i] = np.stack(frames)[:t]
     ll = ll - np.log(np.exp(ll).sum(-1, keepdims=True))
     ll_d = jnp.asarray(ll)
     lens = jnp.full((b,), t, jnp.int32)
@@ -151,12 +169,30 @@ def bench_decode(deadline: float):
         float(jnp.sum(out.scores[-1]))  # scalar fetch barrier
         best = min(best, time.perf_counter() - t0)
     ms_frame = best / t * 1000
-    return {
+    res = {
         "decode_ms_per_frame": round(ms_frame, 2),
         "decode_audio_sec_per_sec_per_chip": round(
             0.010 * b * t / best, 1),
         "decode_graph_states": g.num_states,
     }
+    # production path: blank-frame skipping (decoder/frame_skip.py)
+    if time.time() < deadline - 60:
+        def skip_pass():
+            cf = compact_blank_frames(ll_d, lens, 0.98, 0.9, bucket=64)
+            o = dec(cf.loglikes, cf.lengths, dg)
+            float(jnp.sum(o.scores[-1]))
+            return cf
+
+        cf = skip_pass()                # compile + warm
+        best_s = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            skip_pass()
+            best_s = min(best_s, time.perf_counter() - t0)
+        res["decode_skip_audio_sec_per_sec_per_chip"] = round(
+            0.010 * b * t / best_s, 1)
+        res["decode_skip_kept_frames"] = int(np.asarray(cf.lengths).mean())
+    return res
 
 
 if __name__ == "__main__":

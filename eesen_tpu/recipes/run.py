@@ -239,13 +239,25 @@ class RecipeRun:
         return self.params, self.model_cfg
 
     def _posteriors(
-        self, feats: Dict[str, np.ndarray], chunk: List[str]
+        self,
+        feats: Dict[str, np.ndarray],
+        chunk: List[str],
+        time_bucket: int = 128,
+        batch_pad: int = 0,
     ) -> Tuple[jnp.ndarray, np.ndarray]:
+        """Model posteriors for a chunk, shape-bucketed: T is rounded up
+        to `time_bucket` and B padded to `batch_pad` (zero rows, length
+        0) so every chunk of a decode pass reuses ONE compiled forward
+        program — each distinct shape costs a multi-minute remote
+        compile on the tunnel platform."""
         params, model_cfg = self._decode_params()
         t_max = max(feats[k].shape[0] for k in chunk)
+        if time_bucket > 1:
+            t_max = -(-t_max // time_bucket) * time_bucket
+        b = max(len(chunk), batch_pad)
         dim = feats[chunk[0]].shape[1]
-        arr = np.zeros((len(chunk), t_max, dim), np.float32)
-        lens = np.zeros(len(chunk), np.int32)
+        arr = np.zeros((b, t_max, dim), np.float32)
+        lens = np.zeros(b, np.int32)
         for j, k in enumerate(chunk):
             arr[j, : len(feats[k])] = feats[k]
             lens[j] = len(feats[k])
@@ -270,9 +282,14 @@ class RecipeRun:
 
         decoder = make_beam_decoder(self.graph, cfg)
         dg = DeviceGraph.put(self.graph)
+        # length-sorted chunks: similar-length utterances share a shape
+        # bucket, so the whole pass reuses one or two compiled programs
+        keys = sorted(keys, key=lambda k: (-feats[k].shape[0], k))
         for i in range(0, len(keys), batch_size):
             chunk = keys[i : i + batch_size]
-            lp, lens = self._posteriors(feats, chunk)
+            lp, lens = self._posteriors(
+                feats, chunk, batch_pad=batch_size
+            )
             skip_cost = None
             if cfg.blank_skip > 0.0:
                 cf = compact_blank_frames(
@@ -316,10 +333,11 @@ class RecipeRun:
         for chunk, lp, lens, out, _skip in self._run_search(
             feats, sorted(feats), cfg, batch_size
         ):
-            for j, (wids, cost) in enumerate(
-                traceback(out, lens, self.graph.final_weight)
+            # zip: the batch may carry padded zero-length rows past chunk
+            for k, (wids, cost) in zip(
+                chunk, traceback(out, lens, self.graph.final_weight)
             ):
-                hyps[chunk[j]] = [words.sym(w) for w in wids]
+                hyps[k] = [words.sym(w) for w in wids]
         stats = compute_wer(refs, hyps)
         return stats, hyps
 

@@ -88,7 +88,8 @@ def main():
         newbob=NewbobConfig(learn_rate=5e-4, max_iters=12, min_iters=6),
         batch=BatchConfig(num_sequence=16, frame_limit=25000, time_quant=256),
         decode=BeamSearchConfig(beam=17.0, max_active=512, funnel_mult=2,
-                                acoustic_scale=0.9, lattice_beam=8.0),
+                                acoustic_scale=0.9, lattice_beam=8.0,
+                                blank_skip=0.98),
     )
     lex_full = lexicon + [("<UNK>", (units[0],))]
     run = RecipeRun(cfg, os.path.join(args.workdir, "exp"), lex_full, units)
