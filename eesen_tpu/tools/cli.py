@@ -419,7 +419,17 @@ def cmd_latgen(args) -> int:
         for i, x in enumerate(batch):
             arr[i, : len(x)] = x
             lens[i] = len(x)
-        out = decoder(jnp.asarray(arr), jnp.asarray(lens), dg)
+        if getattr(args, "blank_skip", 0.0) > 0.0:
+            from eesen_tpu.decoder.frame_skip import compact_blank_frames
+            cf = compact_blank_frames(
+                jnp.asarray(arr), lens, args.blank_skip,
+                args.acoustic_scale,
+            )
+            arr = np.asarray(cf.loglikes)
+            lens = np.asarray(cf.lengths)
+            out = decoder(cf.loglikes, cf.lengths, dg)
+        else:
+            out = decoder(jnp.asarray(arr), jnp.asarray(lens), dg)
         for i, (wids, cost) in enumerate(
             traceback(out, lens, graph.final_weight)
         ):
@@ -1326,6 +1336,9 @@ def main(argv=None) -> int:
     p.add_argument("--lattice-beam", type=float, default=8.0)
     p.add_argument("--binary", action="store_true",
                    help="binary lattice archive")
+    p.add_argument("--blank-skip", type=float, default=0.0,
+                   help="skip frames with blank posterior above this "
+                        "(phone-synchronous decoding; 0 disables)")
     p.add_argument("graph")
     p.add_argument("loglikes_rspecifier")
     p.add_argument("out")

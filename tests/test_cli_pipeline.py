@@ -114,6 +114,18 @@ def test_cli_train_decode_score(tmp_path):
     hyps = {l.split()[0]: l.split()[1:] for l in open(hyp) if l.split()}
     assert set(hyps) == set(cv)
 
+    # blank-skip (phone-synchronous) decode must reproduce the same
+    # hypotheses on these blank-separated posteriors
+    hyp_s = str(tmp_path / "hyp_skip.txt")
+    assert main([
+        "latgen", "--acoustic-scale", "0.9", "--beam", "20",
+        "--max-active", "256", "--words", wpath,
+        "--blank-skip", "0.9",
+        gpath, f"ark:{post}", hyp_s,
+    ]) == 0
+    hyps_s = {l.split()[0]: l.split()[1:] for l in open(hyp_s) if l.split()}
+    assert hyps_s == hyps
+
     # WER of the direct decode
     ref = str(tmp_path / "ref.txt")
     with open(ref, "w") as f:
