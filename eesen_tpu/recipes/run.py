@@ -270,14 +270,14 @@ class RecipeRun:
         return lp, lens
 
     def _run_search(self, feats, keys, cfg, batch_size):
-        """Batched beam search over `keys`; yields (chunk, lp, lens, out,
-        skip_cost).  With cfg.blank_skip > 0, blank-dominated frames are
-        compacted away first (decoder/frame_skip.py) and lp/lens are the
-        COMPACTED posteriors the search actually saw; skip_cost [B] is
-        the path-independent acoustic cost of the skipped frames (None
-        when skipping is off).  Retries a chunk once with doubled olabel
-        capacity when the per-frame word-emission buffer overflowed (the
-        silent-truncation hazard the overflow counter exists to catch)."""
+        """Batched beam search over `keys`; yields (chunk, lp, lens, out).
+        With cfg.blank_skip > 0, blank-dominated runs are merged into
+        run-summed frames first (decoder/frame_skip.py) and lp/lens are
+        the COMPACTED posteriors the search actually saw (path costs
+        match the full decode — see frame_skip).  Retries a chunk once
+        with doubled olabel capacity when the per-frame word-emission
+        buffer overflowed (the silent-truncation hazard the overflow
+        counter exists to catch)."""
         from eesen_tpu.decoder.frame_skip import compact_blank_frames
 
         decoder = make_beam_decoder(self.graph, cfg)
@@ -290,15 +290,13 @@ class RecipeRun:
             lp, lens = self._posteriors(
                 feats, chunk, batch_pad=batch_size
             )
-            skip_cost = None
             if cfg.blank_skip > 0.0:
                 cf = compact_blank_frames(
-                    lp, lens, cfg.blank_skip, cfg.acoustic_scale,
-                    cfg.blank_skip_bucket,
+                    lp, lens, cfg.blank_skip,
+                    bucket=cfg.blank_skip_bucket,
                 )
                 lp = cf.loglikes
                 lens = np.asarray(cf.lengths)
-                skip_cost = np.asarray(cf.skipped_cost)
             out = decoder(lp, jnp.asarray(lens), dg)
             n_over = int(np.asarray(out.overflow).sum())
             if n_over > 0:
@@ -313,7 +311,7 @@ class RecipeRun:
                 out = make_beam_decoder(self.graph, wide)(
                     lp, jnp.asarray(lens), dg
                 )
-            yield chunk, lp, lens, out, skip_cost
+            yield chunk, lp, lens, out
 
     def decode(
         self,
@@ -330,7 +328,7 @@ class RecipeRun:
             cfg = dataclasses.replace(cfg, acoustic_scale=acoustic_scale)
         words = self.lang.words
         hyps: Dict[str, List[str]] = {}
-        for chunk, lp, lens, out, _skip in self._run_search(
+        for chunk, lp, lens, out in self._run_search(
             feats, sorted(feats), cfg, batch_size
         ):
             # zip: the batch may carry padded zero-length rows past chunk
@@ -356,10 +354,10 @@ class RecipeRun:
         local/score.sh:44-55).
 
         With cfg.blank_skip > 0 the lattices span the COMPACTED frame
-        axis (blank-dominated frames removed); word sequences, path
-        rankings and acwt sweeps are unchanged (the skipped frames cost
-        every path the same constant), but per-frame CTM timings refer
-        to kept frames only."""
+        axis (each blank run merged into one run-summed frame); path
+        costs, word sequences and acwt sweeps match the full decode
+        (frame_skip.py docstring), but per-frame CTM timings refer to
+        kept frames only."""
         from eesen_tpu.decoder.clat import determinize_lattice_pruned
         from eesen_tpu.decoder.lattice import lattice_from_beam
 
@@ -371,7 +369,7 @@ class RecipeRun:
         cfg = dataclasses.replace(self.cfg.decode, lattice_beam=lbeam)
         acwt = cfg.acoustic_scale
         lats: Dict[str, object] = {}
-        for chunk, lp, lens, out, _skip in self._run_search(
+        for chunk, lp, lens, out in self._run_search(
             feats, sorted(feats), cfg, batch_size
         ):
             ll = np.asarray(lp)

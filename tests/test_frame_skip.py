@@ -1,4 +1,5 @@
-"""Blank-frame skipping: compaction semantics + search equivalence."""
+"""Blank-frame skipping: run-sum compaction semantics + search
+equivalence (words AND costs must match the full decode)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -25,11 +26,15 @@ def tlg():
 
 
 def _peaked(rng, lang, seq, t_per=2):
-    ll = synth_loglikes(rng, lang, seq, t_per=t_per, noise=0.3)
-    return ll
+    """synth_loglikes with blank peaks resharpened to realistic
+    saturation (~0.9999 posterior) so the 0.98 skip threshold fires."""
+    ll = np.array(synth_loglikes(rng, lang, seq, t_per=t_per, noise=0.3))
+    blank_peak = ll[:, 0] > np.log(0.5)
+    ll[blank_peak, 0] += 8.0
+    return ll - np.log(np.exp(ll).sum(-1, keepdims=True))
 
 
-def test_compaction_partition_and_costs():
+def test_compaction_run_sum_semantics():
     rng = np.random.default_rng(0)
     b, t, v = 3, 20, 5
     ll = rng.standard_normal((b, t, v)).astype(np.float32)
@@ -38,27 +43,39 @@ def test_compaction_partition_and_costs():
     ll[2, :, 0] += 12.0
     ll = ll - np.log(np.exp(ll).sum(-1, keepdims=True))
     lengths = np.array([20, 15, 12], np.int32)
-    cf = compact_blank_frames(ll, lengths, 0.98, acoustic_scale=0.7,
-                              bucket=4)
+    cf = compact_blank_frames(ll, lengths, 0.98, bucket=4)
     lens = np.asarray(cf.lengths)
     tm = np.asarray(cf.time_map)
     packed = np.asarray(cf.loglikes)
-    # row 0: 7 frames skipped; row 1: none; row 2: all blank -> keep 1
-    assert lens[0] == 13 and lens[1] == 15 and lens[2] == 1
+    # row 0: run 3..9 merges into frame 9 (6 merged); row 1: nothing
+    # blank; row 2: all 12 active frames merge into frame 11
+    assert lens[0] == 14 and lens[1] == 15 and lens[2] == 1
     # bucket rounding: longest kept count 15 -> 16 slots
     assert packed.shape[1] == 16
-    # kept frames preserve original order and content
-    keep0 = [i for i in range(20) if not (3 <= i < 10)]
-    assert tm[0, :13].tolist() == keep0
-    np.testing.assert_allclose(packed[0, :13], ll[0, keep0], rtol=1e-6)
+    # kept slots map to original frames (runs -> their last frame), in
+    # original order
+    keep0 = [i for i in range(20) if not (3 <= i < 9)]
+    assert tm[0, :14].tolist() == keep0
     assert tm[1, :15].tolist() == list(range(15))
-    # skipped cost = scale * sum(-ll[blank]) over skipped active frames
-    exp0 = 0.7 * float(np.sum(-ll[0, 3:10, 0]))
-    np.testing.assert_allclose(float(cf.skipped_cost[0]), exp0, rtol=1e-5)
-    assert float(cf.skipped_cost[1]) == 0.0
-    # row 2 keeps frame 0, skips the other 11 active frames
-    exp2 = 0.7 * float(np.sum(-ll[2, 1:12, 0]))
-    np.testing.assert_allclose(float(cf.skipped_cost[2]), exp2, rtol=1e-5)
+    assert tm[2, 0] == 11
+    # non-run frames carry their own loglikes; a merged slot's column c
+    # is sum(blank over run) + max over run of (ll[c] - blank): blank
+    # pays the exact run sum, any other label its best single-position
+    # insertion price
+    def merged(seg):
+        blank = seg[:, 0]
+        return blank.sum() + (seg - blank[:, None]).max(axis=0)
+
+    np.testing.assert_allclose(packed[0, :3], ll[0, :3], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(packed[0, 3], merged(ll[0, 3:10]),
+                               rtol=1e-4, atol=1e-4)
+    # blank column of the merged slot = exact run sum
+    np.testing.assert_allclose(packed[0, 3, 0], ll[0, 3:10, 0].sum(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(packed[0, 4:14], ll[0, 10:20], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(packed[1, :15], ll[1, :15], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(packed[2, 0], merged(ll[2, :12]),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_compaction_never_exceeds_original_t():
@@ -78,9 +95,10 @@ def test_threshold_validation():
 
 
 def test_skip_decode_matches_full_decode(tlg):
-    """On peaked posteriors with long blank runs, decoding the compacted
-    frames yields the same words as the full decode, and the total cost
-    matches once the skipped constant is added back."""
+    """Words AND costs of the compacted decode must equal the full
+    decode (run summation carries every skipped frame's cost).  Row 0
+    has a repeated unit separated only by a blank run (b <blk> b) — the
+    case that forces keeping one frame per run."""
     lang, fst = tlg
     rng = np.random.default_rng(7)
     seqs = [
@@ -102,14 +120,11 @@ def test_skip_decode_matches_full_decode(tlg):
     full = decoder(jnp.asarray(ll), jnp.asarray(lens), dg)
     full_res = traceback(full, lens, g.final_weight)
 
-    cf = compact_blank_frames(ll, lens, 0.98, cfg.acoustic_scale, bucket=8)
-    assert int(np.asarray(cf.lengths).max()) < int(lens.max())  # skipped some
+    cf = compact_blank_frames(ll, lens, 0.98, bucket=8)
+    assert int(np.asarray(cf.lengths).max()) < int(lens.max())  # merged some
     out = decoder(cf.loglikes, cf.lengths, dg)
     skip_res = traceback(out, np.asarray(cf.lengths), g.final_weight)
 
-    for (w_full, c_full), (w_skip, c_skip), sc in zip(
-        full_res, skip_res, np.asarray(cf.skipped_cost)
-    ):
+    for (w_full, c_full), (w_skip, c_skip) in zip(full_res, skip_res):
         assert w_skip == w_full
-        np.testing.assert_allclose(c_skip + sc, c_full, rtol=1e-4,
-                                   atol=1e-2)
+        np.testing.assert_allclose(c_skip, c_full, rtol=1e-4, atol=1e-2)
