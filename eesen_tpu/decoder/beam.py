@@ -55,12 +55,15 @@ class BeamSearchConfig:
     max_active: int = 4096          # K slots
     acoustic_scale: float = 0.9     # steps/decode_ctc_lat.sh default
     eps_iters: int = 0              # 0: use graph.eps_depth
-    # in-search lattice-beam token retention: tokens worse than the frame
-    # best + lattice_beam are masked OUT of the emitted lattice outputs
-    # (BeamOutputs.lat_mask) while the search itself still carries them
-    # (reference: lattice-faster-decoder.h:50 lattice_beam; the exact
-    # forward+backward PruneActiveTokens analogue runs host-side in
-    # Lattice.prune).  0 disables masking.
+    # lattice beam: the recipe pipeline prunes reconstructed lattices to
+    # paths within this of the best (exact forward+backward, Lattice
+    # .prune — the PruneActiveTokens analogue, lattice-faster-decoder
+    # .h:50).  The search also emits BeamOutputs.lat_mask (tokens within
+    # lattice_beam of the FRAME best) as a cheap diagnostic, but that
+    # frame-local margin is unsound for retention — a token can trail
+    # the frame best by more than the beam mid-word yet lie on a
+    # complete path within the beam — so lattice reconstruction ignores
+    # it by default (lattice_from_beam use_lat_mask=False).
     lattice_beam: float = 0.0
     # words emitted by one frame's arc+eps chain; overflow beyond this is
     # counted in BeamOutputs.overflow — callers should re-decode with a
@@ -399,8 +402,13 @@ def make_beam_decoder(
                                            interpret=interp)
         if enabled and funnel > 0:
             # too wide for a fast kernel compile: exact top_k funnel down
-            # to the cap first (same exactness condition as funnel_mult)
-            f = min(max(funnel, k), cap, m)
+            # to the kernel CAP first.  The funnel is exact whenever the
+            # survivors cover >= k distinct destinations, so always take
+            # as many as the kernel admits — funneling to funnel_mult*k
+            # instead was measured to KILL the truth path on dense
+            # (blank-compacted) content, where the top few-k proposals
+            # by score pile onto few destinations (4.25% -> 14% WER).
+            f = min(cap, m)
             neg, fidx = jax.lax.top_k(-score, f)
             fidx = fidx.astype(jnp.int32)
             st, sc, kept = beam_pallas.dedup_prune(

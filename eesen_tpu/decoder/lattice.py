@@ -311,7 +311,7 @@ def lattice_from_beam(
     loglikes: np.ndarray,
     acoustic_scale: float,
     keep_tokens: int = 0,
-    use_lat_mask: bool = True,
+    use_lat_mask: bool = False,
 ) -> Lattice:
     """Reconstruct the word lattice for one utterance from per-frame beam
     survivors by re-expanding graph arcs between them host-side.
@@ -325,11 +325,18 @@ def lattice_from_beam(
     GetRawLattice); unscale with lat.scale(1/acwt) before archiving, as
     decoder-wrappers.cc:100-107 does.
 
-    Token retention: tokens masked out by the in-search lattice beam
-    (BeamOutputs.lat_mask, see BeamSearchConfig.lattice_beam) are skipped
-    when use_lat_mask; keep_tokens (0 = all K) additionally truncates to
-    the best few tokens per frame.  The exact forward+backward prune
-    (PruneActiveTokens analogue) is Lattice.prune.
+    Token retention: keep_tokens (0 = all K) truncates to the best few
+    tokens per frame by in-search score.  use_lat_mask additionally
+    drops tokens outside the in-search lattice beam (BeamOutputs
+    .lat_mask) — OFF by default because that mask is a FRAME-LOCAL
+    margin (score vs frame best), which is unsound for retention: a
+    token can trail the frame best by more than lattice_beam mid-word
+    yet lie on a complete path within lattice_beam of the best (weak
+    words recovered via LM), and masking it collapses the lattice
+    (measured: 3-4%% of flagship utterances lost their entire word
+    sequence).  The reference prunes with complete forward+backward
+    path costs instead (PruneActiveTokens) — our exact equivalent is
+    Lattice.prune, run after reconstruction.
     """
     st = np.asarray(outputs.states)[:, utt]      # [T, K]
     sc = np.asarray(outputs.scores)[:, utt]
