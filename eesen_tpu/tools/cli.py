@@ -313,6 +313,35 @@ def cmd_build_lang(args) -> int:
     return 0
 
 
+def cmd_prep_corpus(args) -> int:
+    """Raw corpus tree -> Kaldi data dir(s)
+    (= the reference's local/*_data_prep.sh shell entry points)."""
+    from eesen_tpu.recipes import data_prep as dp
+
+    c = args.corpus
+    if c == "librispeech":
+        out = {"data": dp.librispeech_prep(args.src[0], args.dst)}
+    elif c == "wsj":
+        out = dp.wsj_prep(args.src, args.dst)
+    elif c == "tedlium":
+        out = dp.tedlium_prep(args.src[0], args.dst)
+    elif c == "swbd1":
+        out = {"train": dp.swbd1_prep(args.src[0], args.dst,
+                                      trans_dir=args.trans_dir)}
+    elif c == "hkust":
+        if len(args.src) != 2:
+            raise SystemExit("hkust needs SRC = <audio_dir> <text_dir>")
+        out = dp.hkust_prep(args.src[0], args.src[1], args.dst)
+    else:  # pragma: no cover - argparse choices guard this
+        raise SystemExit(f"unknown corpus {c}")
+    for name, dd in out.items():
+        log.info(
+            "prepared %s: %d utts, %d speakers", name, len(dd.wav_scp),
+            len(set(dd.utt2spk.values())),
+        )
+    return 0
+
+
 def cmd_build_tlg(args) -> int:
     """TLG from a lang dir + ARPA LM (= local/*_decode_graph.sh)."""
     import pickle
@@ -1300,6 +1329,17 @@ def main(argv=None) -> int:
     p = sub.add_parser("feat-to-len")
     p.add_argument("feats_rspecifier")
     p.set_defaults(func=cmd_feat_to_len)
+
+    p = sub.add_parser("prep-corpus")
+    p.add_argument("corpus", choices=["librispeech", "wsj", "tedlium",
+                                      "swbd1", "hkust"])
+    p.add_argument("dst", help="output data dir (root)")
+    p.add_argument("src", nargs="+",
+                   help="corpus tree(s): librispeech/tedlium/swbd1 one "
+                        "dir; wsj the disk dirs; hkust <audio> <text>")
+    p.add_argument("--trans-dir", default=None,
+                   help="swbd1: external transcript dir")
+    p.set_defaults(func=cmd_prep_corpus)
 
     p = sub.add_parser("build-lang")
     p.add_argument("--dict-type", default="phn", choices=["phn", "char"])

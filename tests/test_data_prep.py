@@ -167,3 +167,18 @@ class TestHkust:
         assert d.text[utt] == ["你好", "世界"]
         assert d.segments[utt] == ("xx0001-A", 0.5, 2.2)
         assert "-c 1" in d.wav_scp["xx0001-A"]
+
+
+class TestPrepCorpusCLI:
+    def test_librispeech_cli(self, tmp_path):
+        from eesen_tpu.io.datadir import DataDir
+        from eesen_tpu.tools.cli import main
+
+        src = tmp_path / "train-clean-100"
+        _touch(str(src / "19" / "198" / "19-198.trans.txt"),
+               "19-198-0000 HELLO WORLD\n")
+        _touch(str(src / "19" / "198" / "19-198-0000.flac"), b"")
+        dst = str(tmp_path / "data")
+        assert main(["prep-corpus", "librispeech", dst, str(src)]) == 0
+        d = DataDir(dst)
+        assert d.text["19-198-0000"] == ["HELLO", "WORLD"]
