@@ -385,10 +385,15 @@ def make_beam_decoder(
 
     def _dedup(dst: Array, score: Array):
         """Recombine+prune dispatch: fused Pallas kernel when enabled and
-        the proposal width fits, else the XLA sort path.  Proposal sets
-        wider than the kernel's compile-time cap are first narrowed by an
-        exact top_k funnel (same exactness condition as funnel_mult on
-        the XLA path) so the kernel still applies."""
+        the proposal width fits its compile-time cap, else the EXACT XLA
+        sort path.  Wider merges used to funnel down to the kernel by a
+        top_k over scores, but that is only exact when the survivors
+        cover >= k distinct destinations — on dense (blank-compacted)
+        content the top proposals pile onto few destinations and the
+        truth path gets KILLED (4.25% -> 14% WER measured); widening the
+        funnel to the kernel cap fixed correctness but measured SLOWER
+        than the plain exact sort (2.89 vs 2.38 ms/frame on the
+        336k-state bench graph), so wide merges now just sort."""
         from eesen_tpu.ops import beam_pallas
         b, m = dst.shape
         cap = beam_pallas.MAX_LANES_AUTO
@@ -400,23 +405,9 @@ def make_beam_decoder(
         if pmode == "always" or (enabled and fits):
             return beam_pallas.dedup_prune(dst, score, k, beam,
                                            interpret=interp)
-        if enabled and funnel > 0:
-            # too wide for a fast kernel compile: exact top_k funnel down
-            # to the kernel CAP first.  The funnel is exact whenever the
-            # survivors cover >= k distinct destinations, so always take
-            # as many as the kernel admits — funneling to funnel_mult*k
-            # instead was measured to KILL the truth path on dense
-            # (blank-compacted) content, where the top few-k proposals
-            # by score pile onto few destinations (4.25% -> 14% WER).
-            f = min(cap, m)
-            neg, fidx = jax.lax.top_k(-score, f)
-            fidx = fidx.astype(jnp.int32)
-            st, sc, kept = beam_pallas.dedup_prune(
-                jnp.take_along_axis(dst, fidx, axis=1), -neg, k, beam,
-                interpret=interp,
-            )
-            return st, sc, jnp.take_along_axis(fidx, kept, axis=1)
-        return _dedup_and_prune(dst, score, k, beam, approx, funnel)
+        return _dedup_and_prune(
+            dst, score, k, beam, approx, 0 if enabled else funnel
+        )
 
     def _x_step(carry_in, do_full_dedup):
         """One eps/closure expansion merged with the carried set."""
