@@ -340,10 +340,29 @@ def lattice_from_beam(
     """
     st = np.asarray(outputs.states)[:, utt]      # [T, K]
     sc = np.asarray(outputs.scores)[:, utt]
+    par = np.asarray(outputs.parent)[:, utt]
     lmask = np.asarray(outputs.lat_mask)[:, utt]
     t_max, k = st.shape
     length = min(length, t_max)
     kk = keep_tokens or k
+
+    # the Viterbi chain is ALWAYS retained: keep_tokens/lat_mask rank
+    # tokens by frame-local score, and the global best path can rank
+    # arbitrarily low mid-utterance (weak words recovered via the LM) —
+    # truncating it silently deletes words (round-2g postmortem)
+    chain = np.full(length, -1, np.int64)
+    if length > 0:
+        last = st[length - 1]
+        fwts = np.asarray(graph.final_weight)
+        fin = np.where(last >= 0, fwts[np.maximum(last, 0)], np.inf)
+        tot = sc[length - 1] + fin
+        cand = tot if np.isfinite(tot).any() else np.where(
+            last >= 0, sc[length - 1], np.inf
+        )
+        j = int(np.argmin(cand))
+        for t in range(length - 1, -1, -1):
+            chain[t] = st[t, j]
+            j = int(par[t, j])
 
     lat = Lattice()
     # initial state (frame -1)
@@ -354,6 +373,8 @@ def lattice_from_beam(
     for t in range(length):
         order = np.argsort(sc[t])[:kk]
         d: Dict[int, int] = {}
+        if chain[t] >= 0:
+            d[int(chain[t])] = lat.add_state(t)
         for j in order:
             s = int(st[t, j])
             if s < 0 or not np.isfinite(sc[t, j]):

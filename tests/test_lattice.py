@@ -72,3 +72,39 @@ def test_lattice_word_times(decoded):
     assert [w for w, _, _ in times] == ols
     for w, s, e in times:
         assert -1 <= s <= e < len(ll)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_lattice_pipeline_preserves_viterbi(seed):
+    """Regression for the round-2g retention bug: the FULL recipe
+    lattice pipeline (reconstruct with keep_tokens -> prune ->
+    determinize) must reproduce the search's Viterbi words and cost at
+    the search acwt, under a realistic (narrow) beam, for random peaked
+    inputs with blank runs and repeated units."""
+    from eesen_tpu.decoder.clat import determinize_lattice_pruned
+
+    lang = compile_lang(LEXICON, UNITS, dict_type="phn")
+    g_fst = arpa_to_fst(ARPA, lang.words)
+    tlg = build_tlg(lang.t_fst, build_lg(lang.l_fst, g_fst))
+    g = compile_graph(tlg, max_degree=8, build_closure=True)
+    rng = np.random.default_rng(100 + seed)
+    toks = ["a", "b", "c", "<blk>"]
+    seq = [toks[int(j)] for j in rng.integers(0, 4, 12)]
+    ll = synth_loglikes(rng, lang, seq, t_per=2, noise=0.8)
+    cfg = BeamSearchConfig(beam=14.0, max_active=64, acoustic_scale=0.9,
+                           lattice_beam=8.0)
+    decoder = make_beam_decoder(g, cfg)
+    out = decoder(jnp.asarray(ll[None]), jnp.asarray([len(ll)]),
+                  DeviceGraph.put(g))
+    (bp_words, bp_cost), = traceback(out, np.asarray([len(ll)]),
+                                     g.final_weight)
+    raw = lattice_from_beam(out, 0, len(ll), g, ll, cfg.acoustic_scale,
+                            keep_tokens=16)
+    raw.prune(cfg.lattice_beam)
+    _, ols, cost = raw.best_path()
+    assert ols == bp_words
+    np.testing.assert_allclose(cost, bp_cost, rtol=1e-4, atol=1e-3)
+    clat = determinize_lattice_pruned(raw, lattice_beam=cfg.lattice_beam)
+    _, dwords, dcost = clat.best_path()
+    assert list(dwords) == bp_words
+    np.testing.assert_allclose(dcost, bp_cost, rtol=1e-4, atol=1e-3)
