@@ -677,6 +677,11 @@ class StreamingBeamDecoder:
         for chunk in chunks:             # [B, Tc, V] log-likes
             st = dec.accept(st, chunk)   # optional active mask [B, Tc]
         results = dec.finish(st)         # [(words, cost)] * B
+
+    With cfg.blank_skip > 0, each chunk is blank-run merged before the
+    search (decoder/frame_skip.py) — the streaming analogue of the
+    offline skip path; `active` masks must be contiguous prefixes per
+    row (trailing padding).
     """
 
     def __init__(
@@ -686,6 +691,7 @@ class StreamingBeamDecoder:
         self._init = init_fn
         self._chunk = jax.jit(chunk_fn)
         self.graph = graph
+        self.cfg = cfg
         self.dg = DeviceGraph.put(graph)
 
     def start(self, batch_size: int) -> dict:
@@ -702,8 +708,26 @@ class StreamingBeamDecoder:
             active = jnp.ones((b, t_c), bool)
         else:
             active = jnp.asarray(active, bool)
+        loglikes = jnp.asarray(loglikes)
+        if self.cfg.blank_skip > 0.0:
+            # per-chunk blank-run merging (decoder/frame_skip.py).  A
+            # run spanning a chunk boundary is split into one merged
+            # frame per chunk — semantics stay exact, compression loses
+            # at most one frame per boundary.
+            from eesen_tpu.decoder.frame_skip import compact_blank_frames
+
+            cf = compact_blank_frames(
+                loglikes, jnp.sum(active, axis=1, dtype=jnp.int32),
+                self.cfg.blank_skip, bucket=self.cfg.blank_skip_bucket,
+            )
+            loglikes = cf.loglikes
+            t_c = loglikes.shape[1]
+            active = (
+                jnp.arange(t_c, dtype=jnp.int32)[None, :]
+                < cf.lengths[:, None]
+            )
         carry, (st, sc, par, ol, lm) = self._chunk(
-            state["carry"], jnp.asarray(loglikes), active, self.dg
+            state["carry"], loglikes, active, self.dg
         )
         state["carry"] = carry
         state["st"].append(np.asarray(st))

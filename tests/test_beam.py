@@ -1,5 +1,6 @@
 """TPU beam search vs host FasterDecoder oracle on a real (tiny) TLG."""
 
+import dataclasses
 import math
 
 import jax.numpy as jnp
@@ -368,3 +369,53 @@ def test_layout_mismatch_raises(tlg):
     ll = jnp.zeros((1, 4, 8))
     with pytest.raises(ValueError, match="layout"):
         dec(ll, jnp.asarray([4]), dg_packed)
+
+
+def test_streaming_blank_skip_matches_offline_full(tlg):
+    """Streaming with per-chunk blank-run merging must reproduce the
+    full (unskipped) offline decode: words identical and cost equal
+    (the merged frames carry their exact blank sums; runs split at
+    chunk boundaries just merge into one frame per chunk)."""
+    from eesen_tpu.decoder.beam import StreamingBeamDecoder
+
+    lang, fst = tlg
+    rng = np.random.default_rng(77)
+    seqs = [
+        ["a", "<blk>", "<blk>", "b", "<blk>", "b", "a"],
+        ["a", "a", "<blk>", "<blk>", "<blk>", "b", "c", "<blk>"],
+    ]
+    lls = []
+    for s in seqs:
+        x = np.array(synth_loglikes(rng, lang, s, t_per=3, noise=0.3))
+        bp = x[:, 0] > np.log(0.5)
+        x[bp, 0] += 8.0                     # saturate blanks
+        lls.append(x - np.log(np.exp(x).sum(-1, keepdims=True)))
+    t_max = max(len(x) for x in lls)
+    batch = np.full((2, t_max, lls[0].shape[1]), -30.0, np.float32)
+    batch[:, :, 0] = 0.0                    # padding decodes as blank
+    lengths = np.asarray([len(x) for x in lls], np.int32)
+    for i, x in enumerate(lls):
+        batch[i, : len(x)] = x
+
+    g = compile_graph(fst, max_degree=8, build_closure=True)
+    cfg = BeamSearchConfig(beam=1e9, max_active=128, acoustic_scale=0.9)
+    offline = make_beam_decoder(g, cfg)(
+        jnp.asarray(batch), jnp.asarray(lengths), DeviceGraph.put(g)
+    )
+    ref = traceback(offline, lengths, g.final_weight)
+
+    dec = StreamingBeamDecoder(
+        g, dataclasses.replace(cfg, blank_skip=0.98, blank_skip_bucket=2)
+    )
+    st = dec.start(2)
+    chunk = 12
+    for t0 in range(0, t_max, chunk):
+        ll_c = batch[:, t0 : t0 + chunk]
+        act = (np.arange(t0, t0 + ll_c.shape[1])[None, :]
+               < lengths[:, None])
+        st = dec.accept(st, ll_c, act)
+    res = dec.finish(st)
+    assert st["tframes"] < t_max            # actually merged frames
+    for (w1, c1), (w2, c2) in zip(ref, res):
+        assert w1 == w2, (w1, w2)
+        np.testing.assert_allclose(c1, c2, rtol=1e-4, atol=1e-2)
