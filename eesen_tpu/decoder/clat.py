@@ -646,3 +646,62 @@ def minimize(clat: CompactLattice, delta: float = 1.0 / 1024.0
         if s0 in clat.finals:
             out.finals[os_] = clat.finals[s0]
     return out
+
+
+# ---------------------------------------------------------------------
+# Sentence-level confidence
+# ---------------------------------------------------------------------
+
+def sentence_confidence(
+    clat: CompactLattice,
+) -> Tuple[float, int, List[int], List[int]]:
+    """Best-vs-second-best margin over a determinized lattice
+    (reference: src/lat/confidence.h:57, confidence.cc:26-84
+    SentenceLevelConfidence on a CompactLattice).
+
+    Returns (confidence, num_paths, best_sentence, second_best_sentence):
+    the total-cost difference between the two best paths (which have
+    distinct word sequences because the input is determinized), +inf if
+    the lattice has only one path, and 0.0 if it has none.  Any acoustic
+    scaling must already be applied (same contract as the reference).
+    """
+    # Work on the expanded state-level lattice: n-best over CompactLattice
+    # arcs would append alignment strings quadratically, the same reason
+    # the reference converts first (confidence.cc:31-38).
+    lat = compact_to_lattice(clat)
+    paths = lat.nbest(2)
+    n = len(paths)
+    best = paths[0][0] if n >= 1 else []
+    second = paths[1][0] if n >= 2 else []
+    if n == 0:
+        return 0.0, 0, best, second
+    if n == 1:
+        return INF, 1, best, second
+    ans = paths[1][1] - paths[0][1]
+    return max(ans, 0.0), 2, best, second
+
+
+def sentence_confidence_lattice(
+    lat: Lattice,
+) -> Tuple[float, int, List[int], List[int]]:
+    """SentenceLevelConfidence on a raw state-level lattice
+    (confidence.cc:87-117): determinize with an arc budget just large
+    enough to surface the two best word sequences, then measure the
+    margin on the result."""
+    # longest sentence length = max words over any path (the reference's
+    # LongestSentenceLength, lattice-functions.cc)
+    order = _topo_order_lattice(lat)
+    longest = [0] * lat.num_states
+    for s in order:
+        for a in lat.arcs[s]:
+            cand = longest[s] + (1 if a.olabel else 0)
+            if cand > longest[a.nextstate]:
+                longest[a.nextstate] = cand
+    max_len = max(
+        (longest[s] for s in lat.finals), default=0
+    )
+    safety = 4 + max_len
+    clat = determinize_lattice_pruned(
+        lat, lattice_beam=INF, max_arcs=max_len * 2 + safety,
+    )
+    return sentence_confidence(clat)

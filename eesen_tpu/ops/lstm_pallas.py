@@ -96,31 +96,25 @@ def _bwd_kernel(
     gates_ref,   # [1, B, 4Hp] bf16
     craw_ref,    # [1, B, Hp]
     cprev_ref,   # [1, B, Hp]  (c_carry at t-1; zeros block at t=0)
-    mprev_ref,   # [1, B, Hp]  (m_carry at t-1; zeros block at t=0)
     gm_ref,      # [1, B, Hp]  cotangent of m_carry[t]
     w_ref,       # [Hp, 4Hp] bf16
     ph_ref,      # [3, Hp]
     dxw_ref,     # [1, B, 4Hp] out
-    dw_ref,      # [Hp, 4Hp] out (written at last program)
-    db_ref,      # [1, 4Hp] out
-    dph_ref,     # [3, Hp] out
     dm_scr,      # [B, Hp] carry
     dc_scr,      # [B, Hp] carry
-    dw_scr,      # [Hp, 4Hp] f32 acc
-    db_scr,      # [1, 4Hp] f32 acc
-    dph_scr,     # [3, Hp] f32 acc
 ):
+    """Minimal recurrence-only backward: emits per-step pre-activation
+    grads (dgifo) and keeps nothing else resident, so VMEM stays bounded
+    at any H — dW/dphole are one-shot XLA matmuls over the emitted dxw
+    sequence (see _lstm_scan_bwd), which is also more MXU-efficient than
+    T rank-B accumulations."""
     pid = pl.program_id(0)
-    n = pl.num_programs(0)
     hp = dm_scr.shape[1]
 
     @pl.when(pid == 0)
     def _():
         dm_scr[:] = jnp.zeros_like(dm_scr)
         dc_scr[:] = jnp.zeros_like(dc_scr)
-        dw_scr[:] = jnp.zeros_like(dw_scr)
-        db_scr[:] = jnp.zeros_like(db_scr)
-        dph_scr[:] = jnp.zeros_like(dph_scr)
 
     gates = gates_ref[0].astype(jnp.float32)
     g = gates[:, 0 * hp : 1 * hp]
@@ -129,7 +123,6 @@ def _bwd_kernel(
     o = gates[:, 3 * hp : 4 * hp]
     c_raw = craw_ref[0]
     c_prev = cprev_ref[0]
-    m_prev = mprev_ref[0]
     mt = mask_ref[0]                       # [B, 1]
     tanh_c = jnp.tanh(c_raw)
 
@@ -161,20 +154,6 @@ def _bwd_kernel(
     dc_scr[:] = dc_prev
 
     dxw_ref[0] = dgifo
-    dw_scr[:] += jnp.dot(
-        m_prev.astype(jnp.bfloat16).T, dgifo.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    db_scr[0, :] += jnp.sum(dgifo, axis=0)
-    dph_scr[0, :] += jnp.sum(di_pre * c_prev, axis=0)
-    dph_scr[1, :] += jnp.sum(df_pre * c_prev, axis=0)
-    dph_scr[2, :] += jnp.sum(do_pre * c_raw, axis=0)
-
-    @pl.when(pid == n - 1)
-    def _():
-        dw_ref[:] = dw_scr[:]
-        db_ref[:] = db_scr[:]
-        dph_ref[:] = dph_scr[:]
 
 
 # --------------------------------------------------------------------------
@@ -223,19 +202,12 @@ def _fwd_call(xw, mask, w_m, ph, interpret):
     return out
 
 
-def _bwd_call(mask, gates, craw, ccarry, mcarry, gm, w_m, ph, interpret):
+def _bwd_call(mask, gates, craw, cprev_seq, gm, w_m, ph, interpret):
     t_max, b, fourhp = gates.shape
     hp = fourhp // 4
     rev = lambda t: (t_max - 1 - t, 0, 0)
 
-    # c_prev / m_prev blocks: index t-1 of the carry sequences, but at the
-    # first step (t=0) the initial state is zero.  We prepend a zeros row
-    # so index t maps to row t (prepended) = carry[t-1].
-    zeros_row = jnp.zeros((1, b, hp), jnp.float32)
-    cprev_seq = jnp.concatenate([zeros_row, ccarry[:-1]], axis=0)
-    mprev_seq = jnp.concatenate([zeros_row, mcarry[:-1]], axis=0)
-
-    out = pl.pallas_call(
+    dxw = pl.pallas_call(
         _bwd_kernel,
         grid=(t_max,),
         in_specs=[
@@ -244,37 +216,21 @@ def _bwd_call(mask, gates, craw, ccarry, mcarry, gm, w_m, ph, interpret):
             pl.BlockSpec((1, b, hp), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, hp), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, hp), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, hp), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((hp, fourhp), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, hp), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, b, fourhp), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((hp, fourhp), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, fourhp), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, hp), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t_max, b, fourhp), jnp.float32),
-            jax.ShapeDtypeStruct((hp, fourhp), jnp.float32),
-            jax.ShapeDtypeStruct((1, fourhp), jnp.float32),
-            jax.ShapeDtypeStruct((3, hp), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, b, fourhp), rev,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_max, b, fourhp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((b, hp), jnp.float32),
             pltpu.VMEM((b, hp), jnp.float32),
-            pltpu.VMEM((hp, fourhp), jnp.float32),
-            pltpu.VMEM((1, fourhp), jnp.float32),
-            pltpu.VMEM((3, hp), jnp.float32),
         ],
         interpret=interpret,
-    )(mask, gates, craw, cprev_seq, mprev_seq, gm, w_m, ph)
-    return out
+    )(mask, gates, craw, cprev_seq, gm, w_m, ph)
+    return dxw
 
 
 # --------------------------------------------------------------------------
@@ -306,15 +262,30 @@ def _lstm_scan_fwd(xw, mask, w_m, ph, interpret):
 
 def _lstm_scan_bwd(interpret, res, gm):
     mask, gates, craw, ccarry, mcarry, w_bf, ph = res
-    dxw, dw, db, dph = _bwd_call(
-        mask, gates, craw, ccarry, mcarry, gm, w_bf, ph, interpret
+    t_max, b, fourhp = gates.shape
+    hp = fourhp // 4
+    # carry sequences shifted by one step (zeros = initial state at t=0)
+    zeros_row = jnp.zeros((1, b, hp), jnp.float32)
+    cprev = jnp.concatenate([zeros_row, ccarry[:-1]], axis=0)
+    dxw = _bwd_call(mask, gates, craw, cprev, gm, w_bf, ph, interpret)
+    # Weight grads from the emitted dgifo sequence as one-shot XLA
+    # matmuls/reductions (MXU-efficient; keeps the kernel's VMEM bounded
+    # at any H).  The bias gradient folds into dxw at the caller (xw
+    # includes the bias).
+    mprev = jnp.concatenate([zeros_row, mcarry[:-1]], axis=0)
+    dw = jnp.einsum(
+        "tbh,tbk->hk", mprev.astype(jnp.bfloat16),
+        dxw.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
     )
-    # db folds into dxw's bias through the caller (xw includes bias), so
-    # the bias gradient arrives via dxw summed over (T, B); return dw/dph
-    # for the weight leaves.  db is returned as part of no leaf here —
-    # callers get the bias grad from dxw.
-    del db
-    return dxw, None, dw.astype(jnp.float32), dph
+    di_pre = dxw[:, :, 1 * hp : 2 * hp]
+    df_pre = dxw[:, :, 2 * hp : 3 * hp]
+    do_pre = dxw[:, :, 3 * hp : 4 * hp]
+    dph = jnp.stack([
+        jnp.sum(di_pre * cprev, axis=(0, 1)),
+        jnp.sum(df_pre * cprev, axis=(0, 1)),
+        jnp.sum(do_pre * craw, axis=(0, 1)),
+    ])
+    return dxw, None, dw, dph
 
 
 lstm_scan.defvjp(_lstm_scan_fwd, _lstm_scan_bwd)
@@ -410,17 +381,16 @@ def _fused_bwd_kernel(
     wm_ref,      # [Hp, 4Hp] bf16
     ph_ref,      # [3, Hp] f32
     dx_ref,      # [BT, B, Dp] bf16 out
-    dwx_ref,     # [Dp, 4Hp] f32 out (written at last program)
-    dwm_ref,     # [Hp, 4Hp] f32 out
-    db_ref,      # [1, 4Hp] f32 out
-    dph_ref,     # [3, Hp] f32 out
+    dwx_ref,     # [Dp, 4Hp] f32 out (accumulated in place: constant index
+                 #               map keeps the block VMEM-resident for the
+                 #               whole sequential grid)
+    dwm_ref,     # [Hp, 4Hp] f32 out (same)
+    db_ref,      # [1, 4Hp] f32 out (same)
+    dph_ref,     # [3, Hp] f32 out (same)
     dm_scr,      # [B, Hp] carry
     dc_scr,      # [B, Hp] carry
-    dgifo_scr,   # [BT*B, 4Hp] f32 (per-block pre-activation grads)
-    dwx_scr,     # [Dp, 4Hp] f32 acc
-    dwm_scr,     # [Hp, 4Hp] f32 acc
-    db_scr,      # [1, 4Hp] f32 acc
-    dph_scr,     # [3, Hp] f32 acc
+    dgifo_scr,   # [BT*B, 4Hp] bf16 (per-block pre-activation grads; only
+                 #                   feeds the bf16 dx/dwx matmuls)
 ):
     k = pl.program_id(0)
     n = pl.num_programs(0)
@@ -431,10 +401,10 @@ def _fused_bwd_kernel(
     def _():
         dm_scr[:] = jnp.zeros_like(dm_scr)
         dc_scr[:] = jnp.zeros_like(dc_scr)
-        dwx_scr[:] = jnp.zeros_like(dwx_scr)
-        dwm_scr[:] = jnp.zeros_like(dwm_scr)
-        db_scr[:] = jnp.zeros_like(db_scr)
-        dph_scr[:] = jnp.zeros_like(dph_scr)
+        dwx_ref[:] = jnp.zeros_like(dwx_ref)
+        dwm_ref[:] = jnp.zeros_like(dwm_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        dph_ref[:] = jnp.zeros_like(dph_ref)
 
     # 0.0 when this is the first (original-time) block, so the "previous
     # row" reads (clamped to row 0 by the index map) become zeros — the
@@ -483,32 +453,25 @@ def _fused_bwd_kernel(
         )
         dm_scr[:] = dm_in + dm_prev_pass
         dc_scr[:] = dc_prev
-        dgifo_scr[i * b : (i + 1) * b] = dgifo
-        dwm_scr[:] += jnp.dot(
+        dgifo_scr[i * b : (i + 1) * b] = dgifo.astype(jnp.bfloat16)
+        dwm_ref[:] += jnp.dot(
             m_prev.astype(jnp.bfloat16).T, dgifo.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
-        db_scr[0, :] += jnp.sum(dgifo, axis=0)
-        dph_scr[0, :] += jnp.sum(di_pre * c_prev, axis=0)
-        dph_scr[1, :] += jnp.sum(df_pre * c_prev, axis=0)
-        dph_scr[2, :] += jnp.sum(do_pre * c_raw, axis=0)
+        db_ref[0, :] += jnp.sum(dgifo, axis=0)
+        dph_ref[0, :] += jnp.sum(di_pre * c_prev, axis=0)
+        dph_ref[1, :] += jnp.sum(df_pre * c_prev, axis=0)
+        dph_ref[2, :] += jnp.sum(do_pre * c_raw, axis=0)
 
     # block-level input grads: two big MXU matmuls
-    dgifo_all = dgifo_scr[:].astype(jnp.bfloat16)     # [BT*B, 4Hp]
+    dgifo_all = dgifo_scr[:]                          # [BT*B, 4Hp] bf16
     dx_ref[:] = jnp.dot(
         dgifo_all, wx_ref[:].T, preferred_element_type=jnp.float32,
     ).reshape(bt, b, dp).astype(jnp.bfloat16)
-    dwx_scr[:] += jnp.dot(
+    dwx_ref[:] += jnp.dot(
         x_ref[:].reshape(bt * b, dp).T, dgifo_all,
         preferred_element_type=jnp.float32,
     )
-
-    @pl.when(k == n - 1)
-    def _():
-        dwx_ref[:] = dwx_scr[:]
-        dwm_ref[:] = dwm_scr[:]
-        db_ref[:] = db_scr[:]
-        dph_ref[:] = dph_scr[:]
 
 
 def _fused_fwd_call(x, mask, wx_bf, bias, wm_bf, ph, block_t, interpret):
@@ -609,11 +572,7 @@ def _fused_bwd_call(
         scratch_shapes=[
             pltpu.VMEM((b, hp), jnp.float32),
             pltpu.VMEM((b, hp), jnp.float32),
-            pltpu.VMEM((bt * b, fourhp), jnp.float32),
-            pltpu.VMEM((dp, fourhp), jnp.float32),
-            pltpu.VMEM((hp, fourhp), jnp.float32),
-            pltpu.VMEM((1, fourhp), jnp.float32),
-            pltpu.VMEM((3, hp), jnp.float32),
+            pltpu.VMEM((bt * b, fourhp), jnp.bfloat16),
         ],
         interpret=interpret,
     )(x, mask, gates, ccarry, mcarry, ccarry, mcarry, gm, wx_bf, wm_bf, ph)
@@ -649,27 +608,69 @@ def _lstm_fused_fwd(x, mask, w_x, bias, w_m, ph, block_t, interpret):
     return m, (x, mask, gates, c, m, wx_bf, wm_bf, ph)
 
 
+# VMEM budget for kernel sizing: the scoped-vmem limit is ~16MB; leave
+# headroom for Mosaic's own temporaries.
+_VMEM_BUDGET = 14 * 2**20
+
+
+def _fwd_vmem_bytes(bt: int, b: int, dp: int, hp: int) -> int:
+    """Rough VMEM footprint of the fused forward kernel: resident weights
+    + double-buffered streamed blocks + carry scratch."""
+    fourhp = 4 * hp
+    fixed = dp * fourhp * 2 + hp * fourhp * 2      # wx, wm bf16
+    per_block = (
+        bt * b * dp * 2          # x bf16
+        + bt * b * 4             # mask f32
+        + 2 * bt * b * hp * 4    # m, c outputs f32
+        + bt * b * fourhp * 2    # gates output bf16
+    )
+    scratch = 2 * b * hp * 4     # m/c carries
+    return fixed + 2 * per_block + scratch
+
+
 def _bwd_vmem_bytes(bt: int, b: int, dp: int, hp: int) -> int:
-    """Rough VMEM footprint of the fused backward kernel (double-buffered
-    streamed blocks + resident weights/accumulators).  Used to shrink the
-    backward block_t so big-input layers (e.g. D = 2H stacked BiLSTM
-    inputs) stay under the ~16MB scoped-vmem limit."""
+    """Rough VMEM footprint of the fused backward kernel.  dwx/dwm are
+    accumulated in place in their (constant-index-map, single-buffered)
+    output blocks; streamed blocks are double-buffered."""
     fourhp = 4 * hp
     fixed = (
-        dp * fourhp * 4      # dwx_scr f32
-        + hp * fourhp * 4    # dwm_scr f32
-        + dp * fourhp * 2    # wx bf16
+        dp * fourhp * 2      # wx bf16
         + hp * fourhp * 2    # wm bf16
-        + dp * fourhp * 4 + hp * fourhp * 4   # dwx/dwm outputs
+        + dp * fourhp * 4    # dwx out f32 (in-place accumulator)
+        + hp * fourhp * 4    # dwm out f32 (in-place accumulator)
     )
     per_block = (
-        bt * b * dp * 2      # x bf16
+        bt * b * dp * 2        # x bf16
+        + bt * b * 4           # mask f32
         + bt * b * fourhp * 2  # gates bf16
         + 3 * bt * b * hp * 4  # c, m, gm f32
-        + bt * b * dp * 2    # dx out bf16
+        + 2 * b * hp * 4       # prev-row c/m blocks f32
+        + bt * b * dp * 2      # dx out bf16
     )
-    scratch = bt * b * fourhp * 4   # dgifo_scr f32 (not double-buffered)
+    scratch = (
+        2 * b * hp * 4           # dm/dc carries
+        + bt * b * fourhp * 2    # dgifo_scr bf16
+    )
     return fixed + 2 * per_block + scratch
+
+
+def fused_block_ts(b: int, d: int, h: int, block_t: int = 8):
+    """Choose (forward, backward) block_t for the fused kernel at padded
+    tile sizes, or None if even block_t=1 exceeds the VMEM budget (the
+    caller should fall back to the v1 xw-streaming path, whose kernel
+    VMEM is bounded at any H)."""
+    hp = _round_up(h, 128)
+    dp = _round_up(d, 128)
+    bp = _round_up(b, 8)
+    bt_f, bt_b = block_t, block_t
+    while bt_f > 1 and _fwd_vmem_bytes(bt_f, bp, dp, hp) > _VMEM_BUDGET:
+        bt_f //= 2
+    while bt_b > 1 and _bwd_vmem_bytes(bt_b, bp, dp, hp) > _VMEM_BUDGET:
+        bt_b //= 2
+    if (_fwd_vmem_bytes(bt_f, bp, dp, hp) > _VMEM_BUDGET
+            or _bwd_vmem_bytes(bt_b, bp, dp, hp) > _VMEM_BUDGET):
+        return None
+    return bt_f, bt_b
 
 
 def _lstm_fused_bwd(block_t, interpret, res, gm):
@@ -677,7 +678,7 @@ def _lstm_fused_bwd(block_t, interpret, res, gm):
     t_max, b, dp = x.shape
     hp = wm_bf.shape[0]
     bt = block_t
-    while bt > 1 and _bwd_vmem_bytes(bt, b, dp, hp) > 13 * 2**20:
+    while bt > 1 and _bwd_vmem_bytes(bt, b, dp, hp) > _VMEM_BUDGET:
         bt //= 2
     dx, dwx, dwm, db, dph = _fused_bwd_call(
         x, mask, gates, c, m, gm, wx_bf, wm_bf, ph, bt, interpret
@@ -723,9 +724,22 @@ def lstm_direction_fused_tm(
     kernel, unpad.  Returns m [T, B, H] f32.  For the flagship shapes
     (T mult of block_t, B mult of 8, D mult of 128 on stacked layers)
     the input needs no copy at all — the round-2 profile showed the
-    zero+set repack costing ~0.5 ms/layer."""
+    zero+set repack costing ~0.5 ms/layer.
+
+    block_t is shrunk automatically so forward AND backward kernels fit
+    the VMEM budget at the padded tile sizes; when even block_t=1 cannot
+    fit (e.g. H=640 with stacked 2H inputs: the four resident weight/
+    weight-grad buffers alone exceed scoped VMEM), falls back to the v1
+    path — XLA computes the input projection and weight grads as big
+    one-shot matmuls and only the recurrence runs as a Pallas kernel."""
     t_max, b, d = x.shape
     h = w_gifo_m.shape[0]
+    bts = fused_block_ts(b, d, h, block_t)
+    if bts is None:
+        return _v1_direction_tm(
+            x, mask, w_gifo_x, bias, w_gifo_m, ph_i, ph_f, ph_o, interpret
+        )
+    block_t = bts[0]
     hp = _round_up(h, 128)
     dp = _round_up(d, 128)
     bp = _round_up(b, 8)
@@ -753,6 +767,46 @@ def lstm_direction_fused_tm(
     ])
     m = lstm_fused(xt, mk, wx, bs, wm, ph, block_t, interpret)
     return m[:t_max, :b, :h]
+
+
+def _v1_direction_tm(
+    x: Array,        # [T, B, D]
+    mask: Array,     # [T, B] f32
+    w_gifo_x: Array,  # [D, 4, H]
+    bias: Array,      # [4, H]
+    w_gifo_m: Array,  # [H, 4, H]
+    ph_i: Array, ph_f: Array, ph_o: Array,  # [H]
+    interpret: bool = False,
+) -> Array:
+    """v1 fallback for shapes the fused kernel cannot fit: the input
+    projection is one big XLA matmul; only the recurrence runs in the
+    Pallas kernel (whose VMEM footprint is independent of D); the weight
+    grads are one-shot XLA matmuls over the kernel-emitted dgifo
+    sequence.  Returns m [T, B, H] f32."""
+    t_max, b, d = x.shape
+    h = w_gifo_m.shape[0]
+    hp = _round_up(h, 128)
+    bp = _round_up(b, 8)
+    xw = jnp.einsum(
+        "tbd,dgh->tbgh", x.astype(jnp.bfloat16),
+        w_gifo_x.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) + bias                                # [T, B, 4, H] f32
+    xw_p = jnp.pad(
+        xw, ((0, 0), (0, bp - b), (0, 0), (0, hp - h))
+    ).reshape(t_max, bp, 4 * hp)
+    mk = jnp.zeros((t_max, bp, 1), jnp.float32)
+    mk = mk.at[:, :b, 0].set(mask)
+    w = jnp.pad(w_gifo_m, ((0, hp - h), (0, 0), (0, hp - h))).reshape(
+        hp, 4 * hp
+    )
+    ph = jnp.stack([
+        jnp.pad(ph_i, (0, hp - h)),
+        jnp.pad(ph_f, (0, hp - h)),
+        jnp.pad(ph_o, (0, hp - h)),
+    ])
+    m = lstm_scan(xw_p, mk, w, ph, interpret)
+    return m[:, :b, :h]
 
 
 # --------------------------------------------------------------------------
