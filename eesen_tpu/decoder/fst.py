@@ -991,3 +991,222 @@ def rand_fst(
             f.set_final(s, round(rng.uniform(0, 2), 3))
     f.set_final(n - 1, 0.0)
     return f
+
+
+# --------------------------------------------------------------------------
+# fstext extras: subsequential loop, factoring, special prune
+# --------------------------------------------------------------------------
+
+def add_subsequential_loop(fst: Fst, subseq_sym: int) -> Fst:
+    """Add a subsequential "$" loop: every final state gets an arc
+    (subseq_sym:eps, final weight) to a new superfinal state that loops
+    on subseq_sym (reference: fstext/context-fst-inl.h:401
+    AddSubsequentialLoop, fstbin/fstaddsubsequentialloop.cc).  Original
+    final weights are kept, as the reference does."""
+    out = fst.copy()
+    finals = list(out.finals.items())
+    superfinal = out.add_state()
+    out.add_arc(superfinal, Arc(subseq_sym, 0, 0.0, superfinal))
+    out.set_final(superfinal, 0.0)
+    for s, w in finals:
+        out.add_arc(s, Arc(subseq_sym, 0, w, superfinal))
+    return out
+
+
+def factor(fst: Fst) -> Tuple[Fst, List[List[int]]]:
+    """Compress linear chains of input symbols into single new symbols
+    (reference: fstext/factor.h Factor, fstbin/fstfactor.cc).
+
+    Returns (ofst, symbols): ofst has the chains replaced by one arc
+    whose ilabel indexes `symbols` (symbol -> sequence of original
+    ilabels; index 0 is epsilon).  Original symbols keep their number as
+    the length-1 sequence, matching the reference's guarantee.  A chain
+    is a run of states with in-degree 1 / out-degree 1 whose internal
+    arcs carry no olabel, so any olabel stays on the first arc.
+    ExpandInputSequences(ofst, symbols) reproduces the input's paths.
+    """
+    n = fst.num_states
+    indeg = [0] * n
+    for arcs in fst.arcs:
+        for a in arcs:
+            indeg[a.nextstate] += 1
+
+    def internal(s: int) -> bool:
+        return (
+            indeg[s] == 1 and len(fst.arcs[s]) == 1 and s != fst.start
+            and s not in fst.finals and fst.arcs[s][0].olabel == 0
+        )
+
+    max_sym = 0
+    for arcs in fst.arcs:
+        for a in arcs:
+            max_sym = max(max_sym, a.ilabel)
+    symbols: List[List[int]] = [[]] + [[k] for k in range(1, max_sym + 1)]
+    seq_to_sym: Dict[Tuple[int, ...], int] = {
+        (k,): k for k in range(1, max_sym + 1)
+    }
+
+    out = Fst()
+    smap: Dict[int, int] = {}
+
+    def get(s: int) -> int:
+        if s not in smap:
+            smap[s] = out.add_state()
+        return smap[s]
+
+    if fst.start < 0:
+        return out, symbols
+    out.set_start(get(fst.start))
+    for s in range(n):
+        if internal(s):
+            continue
+        for a in fst.arcs[s]:
+            ils = [a.ilabel] if a.ilabel else []
+            w, cur = a.weight, a.nextstate
+            while internal(cur):
+                nxt = fst.arcs[cur][0]
+                if nxt.ilabel:
+                    ils.append(nxt.ilabel)
+                w += nxt.weight
+                cur = nxt.nextstate
+            seq = tuple(ils)
+            if len(seq) <= 1:
+                sym = seq[0] if seq else 0
+            else:
+                sym = seq_to_sym.get(seq, -1)
+                if sym < 0:
+                    sym = len(symbols)
+                    seq_to_sym[seq] = sym
+                    symbols.append(list(seq))
+            out.add_arc(get(s), Arc(sym, a.olabel, w, get(cur)))
+    for s, w in fst.finals.items():
+        if not internal(s):
+            out.set_final(get(s), w)
+    return out, symbols
+
+
+def create_factor_fst(symbols: List[List[int]]) -> Fst:
+    """Build the left factor FST (reference: fstext/factor.h
+    CreateFactorFst): a loop state that is initial and final, with one
+    chain per symbol — olabel = the factored symbol on the first arc,
+    ilabels = the original sequence — returning to the loop state.
+    compose(create_factor_fst(symbols), factored) is equivalent to the
+    original FST."""
+    f = Fst()
+    loop = f.add_state()
+    f.set_start(loop)
+    f.set_final(loop, 0.0)
+    for sym, seq in enumerate(symbols):
+        if sym == 0 or not seq:
+            continue
+        cur = loop
+        for i, il in enumerate(seq):
+            last = i == len(seq) - 1
+            nxt = loop if last else f.add_state()
+            f.add_arc(cur, Arc(il, sym if i == 0 else 0, 0.0, nxt))
+            cur = nxt
+    return f
+
+
+def expand_input_sequences(fst: Fst, symbols: List[List[int]]) -> Fst:
+    """Inverse of factor (reference: fstext/factor.h
+    ExpandInputSequences): replace each arc's ilabel by its chain of
+    original symbols."""
+    out = Fst()
+    for _ in range(fst.num_states):
+        out.add_state()
+    out.start = fst.start
+    out.finals = dict(fst.finals)
+    for s in range(fst.num_states):
+        for a in fst.arcs[s]:
+            seq = symbols[a.ilabel] if a.ilabel else []
+            if len(seq) <= 1:
+                out.add_arc(s, Arc(
+                    seq[0] if seq else 0, a.olabel, a.weight, a.nextstate,
+                ))
+                continue
+            cur = s
+            for i, il in enumerate(seq):
+                last = i == len(seq) - 1
+                nxt = a.nextstate if last else out.add_state()
+                out.add_arc(cur, Arc(
+                    il, a.olabel if i == 0 else 0,
+                    a.weight if i == 0 else 0.0, nxt,
+                ))
+                cur = nxt
+    return out
+
+
+def prune_special(fst: Fst, beam: float, max_states: int = 0) -> Fst:
+    """Keep only arcs/states on paths within `beam` of the best path
+    (reference: fstext/prune-special.h PruneSpecial; equivalent to
+    OpenFst Prune at weight_threshold=beam, with an optional state cap).
+    Works on cyclic FSTs with non-negative-total cycles via
+    label-correcting shortest distances."""
+    n = fst.num_states
+    if fst.start < 0 or n == 0:
+        return Fst()
+
+    def shortest_from(adj_costs) -> List[float]:
+        dist = [INF] * n
+        srcs, q = adj_costs
+        for s, d0 in srcs:
+            if d0 < dist[s]:
+                dist[s] = d0
+        import collections
+        queue = collections.deque(s for s, _ in srcs)
+        inq = [False] * n
+        for s, _ in srcs:
+            inq[s] = True
+        while queue:
+            s = queue.popleft()
+            inq[s] = False
+            for (d, w) in q[s]:
+                nd = dist[s] + w
+                if nd < dist[d] - 1e-12:
+                    dist[d] = nd
+                    if not inq[d]:
+                        inq[d] = True
+                        queue.append(d)
+        return dist
+
+    fwd_adj: List[List[Tuple[int, float]]] = [[] for _ in range(n)]
+    bwd_adj: List[List[Tuple[int, float]]] = [[] for _ in range(n)]
+    for s in range(n):
+        for a in fst.arcs[s]:
+            fwd_adj[s].append((a.nextstate, a.weight))
+            bwd_adj[a.nextstate].append((s, a.weight))
+    fwd = shortest_from(([(fst.start, 0.0)], fwd_adj))
+    bwd = shortest_from((list(fst.finals.items()), bwd_adj))
+    best = fwd[fst.start] + bwd[fst.start] if n else INF
+    best = min(
+        (fwd[s] + w for s, w in fst.finals.items()), default=INF
+    )
+    if not (best < INF):
+        return Fst()
+    cutoff = best + beam
+
+    keep = [
+        s for s in range(n) if fwd[s] + bwd[s] <= cutoff
+    ]
+    if max_states and len(keep) > max_states:
+        keep.sort(key=lambda s: fwd[s] + bwd[s])
+        keep = keep[:max_states]
+    keepset = set(keep)
+    out = Fst()
+    smap = {}
+    for s in keep:
+        smap[s] = out.add_state()
+    if fst.start not in smap:
+        return Fst()
+    out.set_start(smap[fst.start])
+    for s in keep:
+        for a in fst.arcs[s]:
+            if (a.nextstate in keepset
+                    and fwd[s] + a.weight + bwd[a.nextstate] <= cutoff):
+                out.add_arc(smap[s], Arc(
+                    a.ilabel, a.olabel, a.weight, smap[a.nextstate],
+                ))
+        if s in fst.finals and fwd[s] + fst.finals[s] <= cutoff:
+            out.set_final(smap[s], fst.finals[s])
+    return out

@@ -941,6 +941,29 @@ def cmd_lattice_1best(args) -> int:
     return 0
 
 
+def cmd_lattice_confidence(args) -> int:
+    """Sentence-level confidence: best-vs-second-best total-cost margin
+    per utterance (lat/confidence.cc SentenceLevelConfidence; the
+    reference ships it as a library function — this tool surfaces it as
+    `key confidence num_paths` lines)."""
+    from eesen_tpu.decoder.clat import (
+        sentence_confidence, sentence_confidence_lattice,
+    )
+
+    out_f = sys.stdout if args.out == "-" else open(args.out, "w")
+    for key, lat in _lattice_items(args.in_ark):
+        if hasattr(lat, "scaled"):   # CompactLattice (determinized)
+            lat = lat.scaled(args.acoustic_scale, args.lm_scale)
+            conf, n, _, _ = sentence_confidence(lat)
+        else:
+            lat.scale(args.acoustic_scale, args.lm_scale)
+            conf, n, _, _ = sentence_confidence_lattice(lat)
+        out_f.write(f"{key} {conf:.6g} {n}\n")
+    if out_f is not sys.stdout:
+        out_f.close()
+    return 0
+
+
 def cmd_nbest_to_ctm(args) -> int:
     """(= decoderbin/nbest-to-ctm.cc): best-path word time boundaries in
     CTM format (word start at its olabel frame)."""
@@ -1036,6 +1059,39 @@ def cmd_fst_unary(args, op: str) -> int:
     else:
         raise ValueError(op)
     return _write_text_fst(g, args.out_fst)
+
+
+def cmd_fst_add_subsequential_loop(args) -> int:
+    """(= fstbin/fstaddsubsequentialloop.cc)."""
+    from eesen_tpu.decoder.fst import add_subsequential_loop
+
+    f = _read_text_fst(args.in_fst)
+    return _write_text_fst(
+        add_subsequential_loop(f, args.subseq_sym), args.out_fst
+    )
+
+
+def cmd_fst_factor(args) -> int:
+    """(= fstbin/fstfactor.cc): factor linear input chains into new
+    symbols; writes the left factor FST to out1 and the factored FST to
+    out2 (their composition is equivalent to the input)."""
+    from eesen_tpu.decoder.fst import create_factor_fst, factor
+
+    f = _read_text_fst(args.in_fst)
+    g, symbols = factor(f)
+    _write_text_fst(create_factor_fst(symbols), args.out1)
+    return _write_text_fst(g, args.out2)
+
+
+def cmd_fst_prune_special(args) -> int:
+    """(= fstext/prune-special.h PruneSpecial as a tool): keep only
+    paths within --beam of the best, optionally capping --max-states."""
+    from eesen_tpu.decoder.fst import prune_special
+
+    f = _read_text_fst(args.in_fst)
+    return _write_text_fst(
+        prune_special(f, args.beam, args.max_states), args.out_fst
+    )
 
 
 def cmd_fst_compose(args) -> int:
@@ -1532,6 +1588,13 @@ def main(argv=None) -> int:
     _lat_io(p, scale=True)
     p.set_defaults(func=cmd_lattice_1best)
 
+    p = sub.add_parser("lattice-confidence")
+    p.add_argument("in_ark")
+    p.add_argument("--out", default="-")
+    p.add_argument("--acoustic-scale", type=float, default=1.0)
+    p.add_argument("--lm-scale", type=float, default=1.0)
+    p.set_defaults(func=cmd_lattice_confidence)
+
     p = sub.add_parser("nbest-to-ctm")
     p.add_argument("in_ark")
     p.add_argument("--out", default="-")
@@ -1591,6 +1654,35 @@ def main(argv=None) -> int:
     p.add_argument("--isyms", required=True)
     p.add_argument("--osyms", required=True)
     p.set_defaults(func=cmd_fst_add_self_loops)
+
+    p = sub.add_parser(
+        "fst-add-subsequential-loop",
+        help="add the subsequential '$' loop (fstaddsubsequentialloop)",
+    )
+    p.add_argument("subseq_sym", type=int)
+    p.add_argument("in_fst", nargs="?", default="-")
+    p.add_argument("out_fst", nargs="?", default="-")
+    p.set_defaults(func=cmd_fst_add_subsequential_loop)
+
+    p = sub.add_parser(
+        "fst-factor",
+        help="factor linear input chains into new symbols (fstfactor)",
+    )
+    p.add_argument("in_fst")
+    p.add_argument("out1")
+    p.add_argument("out2", nargs="?", default="-")
+    p.set_defaults(func=cmd_fst_factor)
+
+    p = sub.add_parser(
+        "fst-prune-special",
+        help="prune to paths within --beam of the best "
+             "(fstext/prune-special.h)",
+    )
+    p.add_argument("in_fst")
+    p.add_argument("out_fst", nargs="?", default="-")
+    p.add_argument("--beam", type=float, default=4.0)
+    p.add_argument("--max-states", type=int, default=0)
+    p.set_defaults(func=cmd_fst_prune_special)
 
     p = sub.add_parser("fst-is-stochastic")
     p.add_argument("in_fst")

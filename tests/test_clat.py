@@ -374,3 +374,77 @@ class TestPushMinimize:
         # also merge (identical outgoing signature)
         paths = sorted(_clat_paths(small))
         assert [p[0] for p in paths] == [(1, 3), (2, 3)]
+
+
+# ---------------------------------------------------------------------
+# SentenceLevelConfidence (lat/confidence.cc)
+# ---------------------------------------------------------------------
+
+def test_sentence_confidence_margin():
+    from eesen_tpu.decoder.clat import (
+        sentence_confidence, sentence_confidence_lattice,
+    )
+    # two word sequences: [5] cost 1.0, [7] cost 3.5 -> margin 2.5
+    lat = _mk_lattice(
+        [(0, 1, 3, 5, 0.4, 0.6), (0, 2, 4, 7, 2.0, 1.5)],
+        {1: 0.0, 2: 0.0}, 3,
+    )
+    clat = determinize_lattice_pruned(lat)
+    conf, n, best, second = sentence_confidence(clat)
+    assert n == 2
+    assert conf == pytest.approx(2.5)
+    assert best == [5] and second == [7]
+    # the raw-lattice variant (determinizes internally) agrees
+    conf2, n2, best2, second2 = sentence_confidence_lattice(lat)
+    assert (conf2, n2, best2, second2) == (conf, n, best, second)
+
+
+def test_sentence_confidence_single_and_empty():
+    from eesen_tpu.decoder.clat import sentence_confidence
+    lat = _mk_lattice([(0, 1, 3, 5, 0.4, 0.6)], {1: 0.0}, 2)
+    conf, n, best, _ = sentence_confidence(determinize_lattice_pruned(lat))
+    assert n == 1 and conf == INF and best == [5]
+    empty = _mk_lattice([], {}, 1)
+    conf, n, _, _ = sentence_confidence(determinize_lattice_pruned(empty))
+    assert n == 0 and conf == 0.0
+
+
+def test_sentence_confidence_merges_same_words():
+    """Two distinct paths with the SAME word sequence must count as one:
+    confidence is between distinct word sequences, not raw paths."""
+    from eesen_tpu.decoder.clat import sentence_confidence
+    lat = _mk_lattice(
+        [(0, 1, 3, 5, 0.4, 0.6), (0, 1, 4, 5, 0.7, 0.9)],
+        {1: 0.0}, 2,
+    )
+    conf, n, best, _ = sentence_confidence(determinize_lattice_pruned(lat))
+    assert n == 1 and conf == INF and best == [5]
+
+
+def test_random_confidence_vs_bruteforce():
+    from eesen_tpu.decoder.clat import sentence_confidence
+    rng = random.Random(11)
+    for trial in range(20):
+        n_states = rng.randint(3, 7)
+        arcs = []
+        for s in range(n_states - 1):
+            for _ in range(rng.randint(1, 3)):
+                d = rng.randint(s + 1, n_states - 1)
+                arcs.append((
+                    s, d, rng.randint(1, 4), rng.choice([0, 1, 2, 3]),
+                    round(rng.uniform(0, 3), 3), round(rng.uniform(0, 3), 3),
+                ))
+        lat = _mk_lattice(arcs, {n_states - 1: 0.0}, n_states)
+        paths = _enumerate_paths(lat)
+        if not paths:
+            continue
+        best = _best_per_wordseq(paths)
+        totals = sorted(g + a for (_, g, a) in best.values())
+        conf, n, _, _ = sentence_confidence(
+            determinize_lattice_pruned(lat, lattice_beam=INF)
+        )
+        if len(totals) == 1:
+            assert n == 1 and conf == INF
+        else:
+            assert n == 2
+            assert conf == pytest.approx(totals[1] - totals[0], abs=1e-6)

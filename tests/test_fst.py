@@ -342,3 +342,85 @@ class TestPhiRhoCompose:
         _, ols2, w2 = shortest_path(c2)
         assert ols2 == [9]                      # label rewritten
         np.testing.assert_allclose(w2, 2.0, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------
+# fstext extras: subsequential loop, factor, prune-special
+# ---------------------------------------------------------------------
+
+class TestFstextExtras:
+    def test_add_subsequential_loop(self):
+        from eesen_tpu.decoder.fst import add_subsequential_loop
+        f = Fst.from_text("0 1 1 2 0.5\n1 0.25\n")
+        g = add_subsequential_loop(f, 9)
+        # superfinal exists, loops on 9, original final kept
+        sf = g.num_states - 1
+        assert g.finals.get(sf) == 0.0 and g.finals.get(1) == 0.25
+        loop = [a for a in g.arcs[sf] if a.ilabel == 9 and a.nextstate == sf]
+        assert len(loop) == 1
+        into = [a for a in g.arcs[1] if a.ilabel == 9 and a.nextstate == sf]
+        assert len(into) == 1 and into[0].weight == 0.25
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_factor_expand_roundtrip(self, seed):
+        from eesen_tpu.decoder.fst import (
+            expand_input_sequences, factor, rand_fst,
+        )
+        rng = random.Random(seed)
+        f = rand_fst(rng, n_states=10, n_arcs=14, n_syms=3, acyclic=True)
+        g, symbols = factor(f)
+        back = expand_input_sequences(g, symbols)
+        assert_equivalent(connect(f), connect(back))
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_factor_compose_with_factor_fst(self, seed):
+        from eesen_tpu.decoder.fst import (
+            create_factor_fst, factor, rand_fst,
+        )
+        rng = random.Random(100 + seed)
+        f = rand_fst(rng, n_states=8, n_arcs=12, n_syms=3, acyclic=True)
+        g, symbols = factor(f)
+        left = create_factor_fst(symbols)
+        recomposed = compose(arcsort(left, "olabel"), arcsort(g))
+        # compose(left, factored) accepts the original (istring, ostring)
+        # language (reference fstfactor.cc self-test)
+        assert_equivalent(connect(f), connect(recomposed))
+
+    def test_factor_compresses_chain(self):
+        from eesen_tpu.decoder.fst import factor
+        # 0 -1:5-> 1 -2:eps-> 2 -3:eps-> 3(final): one chain
+        f = Fst.from_text("0 1 1 5\n1 2 2 0\n2 3 3 0\n3\n")
+        g, symbols = factor(f)
+        assert g.num_states == 2 and g.num_arcs == 1
+        a = g.arcs[g.start][0]
+        assert symbols[a.ilabel] == [1, 2, 3] and a.olabel == 5
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_prune_special_matches_bruteforce(self, seed):
+        from eesen_tpu.decoder.fst import prune_special
+        rng = random.Random(200 + seed)
+        from eesen_tpu.decoder.fst import rand_fst
+        f = rand_fst(rng, n_states=8, n_arcs=14, n_syms=3, acyclic=True)
+        beam = 2.0
+        pruned = prune_special(f, beam)
+        paths = f.paths()
+        if not paths:
+            assert pruned.num_states == 0
+            return
+        best = min(w for (_, _, w) in paths)
+        want = {(il, ol, round(w, 6)) for (il, ol, w) in paths
+                if w <= best + beam + 1e-9}
+        got = {(il, ol, round(w, 6)) for (il, ol, w) in pruned.paths()}
+        assert got == want
+
+    def test_prune_special_max_states(self):
+        from eesen_tpu.decoder.fst import prune_special
+        f = Fst.from_text(
+            "0 1 1 1 0.0\n0 2 2 2 5.0\n1 3 1 1 0.0\n2 3 2 2 0.0\n3\n"
+        )
+        pruned = prune_special(f, 100.0, max_states=3)
+        # only the best chain survives the state cap
+        assert pruned.num_states == 3
+        assert {(il, ol) for (il, ol, _) in pruned.paths()} == {
+            ((1, 1), (1, 1))
+        }
