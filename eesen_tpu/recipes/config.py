@@ -34,6 +34,14 @@ class RecipeConfig:
     acwt_sweep: Tuple[float, ...] = tuple(
         round(0.5 + 0.1 * i, 1) for i in range(6)
     )  # local/score.sh:44 sweeps acwt 0.5..1.0
+    # blank-skip parity guard: before a scoring pass trusts blank-run
+    # merging (decode.blank_skip > 0), decode this many randomly sampled
+    # utterances BOTH ways and require word-identical best paths; on
+    # mismatch the pass falls back to the full (non-skipping) decode.
+    # 0 disables the guard.  The merge is exact only when each blank run
+    # carries <= 1 label transition (frame_skip.py), so the guard makes
+    # the default defensible on content where that premise fails.
+    blank_skip_guard: int = 4
 
 
 _FBANK40 = FbankOptions(

@@ -339,12 +339,55 @@ class RecipeRun:
         stats = compute_wer(refs, hyps)
         return stats, hyps
 
+    def check_blank_skip_parity(
+        self,
+        feats: Dict[str, np.ndarray],
+        sample: Optional[int] = None,
+        batch_size: int = 8,
+        seed: int = 0,
+    ) -> Tuple[bool, Dict[str, object]]:
+        """Decode a random sample of utterances both WITH and WITHOUT
+        blank-run merging and compare best-path word sequences.
+
+        Blank-run merging is exact only when each merged blank run
+        carries at most one label transition (frame_skip.py docstring);
+        this guard validates that premise on the actual decode content
+        before a scoring pass trusts the skipping results.  Returns
+        (ok, {"checked": keys, "mismatched": keys})."""
+        cfg = self.cfg.decode
+        if cfg.blank_skip <= 0.0 or not feats:
+            return True, {"checked": [], "mismatched": []}
+        keys = sorted(feats)
+        n = min(sample or self.cfg.blank_skip_guard or 4, len(keys))
+        rng = np.random.default_rng(seed)
+        pick = sorted(
+            keys[i] for i in rng.choice(len(keys), size=n, replace=False)
+        )
+        sub = {k: feats[k] for k in pick}
+
+        def best_words(c):
+            hyps = {}
+            for chunk, lp, lens, out in self._run_search(
+                sub, pick, c, batch_size
+            ):
+                for k, (wids, _) in zip(
+                    chunk, traceback(out, lens, self.graph.final_weight)
+                ):
+                    hyps[k] = wids
+            return hyps
+
+        skip = best_words(cfg)
+        full = best_words(dataclasses.replace(cfg, blank_skip=0.0))
+        mismatched = sorted(k for k in pick if skip.get(k) != full.get(k))
+        return not mismatched, {"checked": pick, "mismatched": mismatched}
+
     def decode_lattices(
         self,
         feats: Dict[str, np.ndarray],
         batch_size: int = 8,
         lattice_beam: Optional[float] = None,
         keep_tokens: int = 64,
+        decode_cfg: Optional[BeamSearchConfig] = None,
     ) -> Dict[str, object]:
         """Decode ONCE and return determinized CompactLattices with
         UNSCALED acoustic costs, ready for acwt sweeps/rescoring without
@@ -362,11 +405,12 @@ class RecipeRun:
         from eesen_tpu.decoder.lattice import lattice_from_beam
 
         assert self.graph is not None
+        base = decode_cfg if decode_cfg is not None else self.cfg.decode
         lbeam = (
             lattice_beam if lattice_beam is not None
-            else (self.cfg.decode.lattice_beam or 8.0)
+            else (base.lattice_beam or 8.0)
         )
-        cfg = dataclasses.replace(self.cfg.decode, lattice_beam=lbeam)
+        cfg = dataclasses.replace(base, lattice_beam=lbeam)
         acwt = cfg.acoustic_scale
         lats: Dict[str, object] = {}
         for chunk, lp, lens, out in self._run_search(
@@ -400,7 +444,27 @@ class RecipeRun:
         lattice-best-path | compute-wer)."""
         assert self.lang is not None
         words = self.lang.words
-        lats = self.decode_lattices(feats, batch_size=batch_size)
+        dcfg = self.cfg.decode
+        if dcfg.blank_skip > 0.0 and self.cfg.blank_skip_guard > 0:
+            ok, info = self.check_blank_skip_parity(
+                feats, batch_size=batch_size
+            )
+            if ok:
+                log.info(
+                    "blank-skip parity guard: %d/%d sampled utterances "
+                    "word-identical to the full decode",
+                    len(info["checked"]), len(info["checked"]),
+                )
+            else:
+                log.warning(
+                    "blank-skip parity guard FAILED on %s — falling back "
+                    "to the full (non-skipping) decode for this pass",
+                    info["mismatched"],
+                )
+                dcfg = dataclasses.replace(dcfg, blank_skip=0.0)
+        lats = self.decode_lattices(
+            feats, batch_size=batch_size, decode_cfg=dcfg
+        )
         out: Dict[float, WerStats] = {}
         for acwt in acwts or self.cfg.acwt_sweep:
             hyps: Dict[str, List[str]] = {}
