@@ -1,20 +1,33 @@
-"""Benchmark: CTC training throughput on the flagship WSJ config.
+"""Benchmark: CTC training + WFST decode throughput on the flagship WSJ
+config.
 
 Measures audio-seconds of speech processed per wall-clock second per chip
 for the full jitted train step (BiLSTM fwd + CTC + bwd + update) — the
-north-star metric from BASELINE.json.  The reference never published
-throughput (it logged per-run "fps" only, src/netbin/train-ctc-parallel.cc:251),
-so vs_baseline is reported against a nominal 2015-GPU estimate of ~3000
+north-star metric from BASELINE.json — plus the decode metrics (ms/frame
+and audio-s/s/chip, full and blank-skip) on the largest available TLG:
+the LM-scale (multi-million-state) trigram graph cached by
+examples/stress_recipe.py when present, else a ~330k-state bigram graph
+built inline.  The reference never published throughput (it logged
+per-run "fps" only, src/netbin/train-ctc-parallel.cc:251), so
+vs_baseline is reported against a nominal 2015-GPU estimate of ~3000
 frames/sec (=30 audio-sec/s) for the same 4x320 BiLSTM workload.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The decode section runs with its own time budget (EESEN_BENCH_DEADLINE
+seconds from process start, default 560 to fit a 590 s driver timeout):
+it degrades from the LM-scale graph to the medium graph to a recorded
+skip reason rather than silently dropping the keys (the round-2 record
+lost its decode metrics exactly that way).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import sys
 import time
 
 _T0 = time.time()
+_DEADLINE = _T0 + float(os.environ.get("EESEN_BENCH_DEADLINE", "560"))
 
 import jax
 
@@ -24,8 +37,19 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
+BIG_GRAPH_CACHE = "/tmp/eesen_bench_cache/tlg_stress.npz"
+
 
 def main():
+    result = bench_train()
+    try:
+        result.update(bench_decode())
+    except Exception as e:  # noqa: BLE001 - decode bench is best-effort
+        result["decode_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(result))
+
+
+def bench_train():
     from eesen_tpu.models.model import AcousticModelConfig
     from eesen_tpu.training.optim import OptimizerConfig
     from eesen_tpu.training.trainer import create_train_state, make_train_step
@@ -84,37 +108,30 @@ def main():
     value = audio_sec_per_sec / n_chips
 
     baseline_audio_sec_per_sec = 30.0  # nominal 2015 GPU (~3000 fps)
-    result = {
+    return {
         "metric": "ctc_train_audio_sec_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value / baseline_audio_sec_per_sec, 2),
     }
-    try:
-        result.update(bench_decode(deadline=_T0 + 480))
-    except Exception as e:  # noqa: BLE001 - decode bench is best-effort
-        result["decode_error"] = f"{type(e).__name__}: {e}"[:200]
-    print(json.dumps(result))
 
 
-def bench_decode(deadline: float):
-    """WFST beam decode throughput on a midsize bigram TLG (~330k states).
+def _load_big_graph():
+    """(graph, prons, num_tokens) from the stress-recipe cache, or None."""
+    from eesen_tpu.decoder.graph_compile import CompiledGraph
 
-    Best-effort side metric: skipped (empty dict) if the train bench left
-    too little time before `deadline` for the decode program compile.
-    Mirrors the reference's latgen-faster decode loop
-    (src/decoder/lattice-faster-decoder.cc ProcessEmitting) as the batched
-    TPU search with the fused Pallas recombination kernel."""
-    if time.time() > deadline - 120:
-        return {}
-    import numpy as np
+    meta_path = BIG_GRAPH_CACHE.replace(".npz", "_meta.npz")
+    if not (os.path.exists(BIG_GRAPH_CACHE) and os.path.exists(meta_path)):
+        return None
+    g = CompiledGraph.load(BIG_GRAPH_CACHE)
+    z = np.load(meta_path)
+    return g, z["prons"], int(z["num_tokens"])
 
-    from eesen_tpu.decoder.beam import (
-        BeamSearchConfig, DeviceGraph, make_beam_decoder,
-    )
-    from eesen_tpu.decoder.ctc_graph import build_lg, build_tlg, compile_lang
+
+def _build_medium_graph():
+    """~330k-state bigram TLG built inline (the round-2 bench graph)."""
     from eesen_tpu.decoder.arpa import arpa_to_fst
-    from eesen_tpu.decoder.frame_skip import compact_blank_frames
+    from eesen_tpu.decoder.ctc_graph import build_lg, build_tlg, compile_lang
     from eesen_tpu.decoder.graph_compile import compile_graph
     from eesen_tpu.recipes.lm import estimate_bigram_arpa
     from eesen_tpu.recipes.synth_corpus import SynthConfig, make_lexicon
@@ -134,20 +151,28 @@ def bench_decode(deadline: float):
     fst = build_tlg(lang.t_fst, build_lg(lang.l_fst, arpa_to_fst(
         arpa, lang.words)))
     g = compile_graph(fst, max_degree=8, build_closure=True)
-    dg = DeviceGraph.put(g)
+    max_pron = max(len(p) for _, p in lex)
+    prons = np.full((512, max_pron), -1, np.int32)
+    pick = rng.choice(len(lex), size=512, replace=False)
+    for r, i in enumerate(pick):
+        for c, u in enumerate(lex[int(i)][1]):
+            prons[r, c] = lang.tokens[u]
+    return g, prons, len(units)
 
-    # realistic converged-CTC posteriors: word paths from the lexicon,
-    # 1-2 spike frames per phone followed by 3-8 saturated blank frames
-    # (a ~10 ms-frame phone lasts ~8 frames and a trained model spikes
-    # 1-2 of them — real blank rates are 70-90%), so the blank-skip
-    # production path is measured on representative content
-    b, t, v = 8, 512, 1 + scfg.num_phones
+
+def _synth_posteriors(prons, num_tokens, b, t, rng):
+    """Realistic converged-CTC posteriors: token paths from real prons,
+    1-2 spike frames per phone followed by 3-8 saturated blank frames
+    (a trained model's blank rate is 70-90%), so the blank-skip
+    production path is measured on representative content."""
+    v = 1 + num_tokens
     ll = np.zeros((b, t, v), np.float32)
     for i in range(b):
         frames = []
         while len(frames) < t:
-            for ph in lex[int(rng.integers(0, len(lex)))][1]:
-                col = lang.tokens[ph] - 1
+            row = prons[int(rng.integers(0, len(prons)))]
+            for tok in row[row > 0]:
+                col = int(tok) - 1
                 for _ in range(int(rng.integers(1, 3))):
                     x = rng.standard_normal(v).astype(np.float32) * 0.4
                     x[col] += 7.0
@@ -157,12 +182,40 @@ def bench_decode(deadline: float):
                     x[0] += 12.0
                     frames.append(x)
         ll[i] = np.stack(frames)[:t]
-    ll = ll - np.log(np.exp(ll).sum(-1, keepdims=True))
+    return ll - np.log(np.exp(ll).sum(-1, keepdims=True))
+
+
+def bench_decode():
+    """WFST beam decode throughput; prefers the LM-scale cached graph.
+
+    Mirrors the reference's latgen-faster decode loop
+    (src/decoder/lattice-faster-decoder.cc ProcessEmitting) as the
+    batched TPU search with the fused Pallas recombination kernel."""
+    from eesen_tpu.decoder.beam import (
+        BeamSearchConfig, DeviceGraph, make_beam_decoder,
+    )
+    from eesen_tpu.decoder.frame_skip import compact_blank_frames
+
+    if time.time() > _DEADLINE - 120:
+        return {"decode_skipped_reason": "train bench left <120s budget"}
+
+    big = _load_big_graph()
+    if big is not None:
+        g, prons, num_tokens = big
+        graph_kind = "lm_scale_trigram"
+    else:
+        g, prons, num_tokens = _build_medium_graph()
+        graph_kind = "medium_bigram_inline"
+
+    rng = np.random.default_rng(7)
+    b, t = 8, 512
+    ll = _synth_posteriors(prons, num_tokens, b, t, rng)
     ll_d = jnp.asarray(ll)
     lens = jnp.full((b,), t, jnp.int32)
     dec = make_beam_decoder(g, BeamSearchConfig(
         beam=16.0, max_active=512, funnel_mult=2, acoustic_scale=0.9,
     ))
+    dg = DeviceGraph.put(g)
     out = dec(ll_d, lens, dg)           # compile + warm
     float(jnp.sum(out.scores[-1]))
     best = float("inf")
@@ -177,9 +230,11 @@ def bench_decode(deadline: float):
         "decode_audio_sec_per_sec_per_chip": round(
             0.010 * b * t / best, 1),
         "decode_graph_states": g.num_states,
+        "decode_graph_arcs": g.num_emit_arcs + g.num_eps_arcs,
+        "decode_graph_kind": graph_kind,
     }
     # production path: blank-frame skipping (decoder/frame_skip.py)
-    if time.time() < deadline - 60:
+    if time.time() < _DEADLINE - 30:
         def skip_pass():
             cf = compact_blank_frames(ll_d, lens, 0.98, 0.9, bucket=64)
             o = dec(cf.loglikes, cf.lengths, dg)

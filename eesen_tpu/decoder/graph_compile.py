@@ -217,6 +217,32 @@ class CompiledGraph:
         )
         return self.num_states * (de + dx) * 16
 
+    # ---- disk cache (LM-scale graphs take minutes to build; bench.py
+    # and recipe reruns reload the compiled arrays instead) ----
+    _SCALARS = ("num_states", "start", "max_emit_degree", "max_eps_degree",
+                "eps_depth", "max_closure_degree")
+    _ARRAYS = ("emit_offsets", "emit_ilabel", "emit_olabel", "emit_weight",
+               "emit_dst", "eps_offsets", "eps_olabel", "eps_weight",
+               "eps_dst", "final_weight", "hub_src", "hub_offsets",
+               "hub_packed", "closure_offsets", "closure_packed")
+
+    def save(self, path: str) -> None:
+        """Write the compiled arrays as one .npz (no pickle)."""
+        d = {k: np.asarray(getattr(self, k)) for k in self._SCALARS}
+        for k in self._ARRAYS:
+            v = getattr(self, k)
+            if v is not None:
+                d[k] = v
+        np.savez(path, **d)
+
+    @classmethod
+    def load(cls, path: str) -> "CompiledGraph":
+        z = np.load(path)
+        kw = {k: int(z[k]) for k in cls._SCALARS}
+        for k in cls._ARRAYS:
+            kw[k] = z[k] if k in z.files else None
+        return cls(**kw)
+
     def offsets_packed(self) -> Tuple[np.ndarray, np.ndarray]:
         """([N, 2] int32 (emit base, emit degree),
         [N, 2] int32 (eps base, eps degree))."""

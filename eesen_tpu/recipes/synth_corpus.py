@@ -182,3 +182,40 @@ def generate_corpus(
         texts[utt] = ws
         utt2spk[utt] = f"spk{spk:02d}"
     return waves, texts, utt2spk
+
+
+def generate_corpus_from_texts(
+    cfg: SynthConfig,
+    texts: Dict[str, List[str]],
+    utt2spk: Dict[str, str],
+    lexicon: List[Tuple[str, Tuple[str, ...]]],
+    phones_tbl,
+    snr_range: Tuple[float, float] | None = None,
+    seed: int = 0,
+):
+    """Synthesize waves for GIVEN word sequences (the stress-corpus path:
+    the caller controls text statistics — Markov LM text, OOV/homophone
+    eval sets — while this function only renders audio).  Speakers are
+    derived deterministically from utt2spk values; per-utterance SNR is
+    drawn from snr_range when given (else cfg.snr_db)."""
+    rng = np.random.default_rng(cfg.seed * 7919 + seed)
+    units = [f"p{i:02d}" for i in range(cfg.num_phones)]
+    unit_index = {u: i for i, u in enumerate(units)}
+    lex = dict(lexicon)
+    spk_params: Dict[str, dict] = {}
+    waves = {}
+    for utt in sorted(texts):
+        spk = utt2spk[utt]
+        if spk not in spk_params:
+            srng = np.random.default_rng(abs(hash(spk)) % (2**32))
+            spk_params[spk] = _speaker(srng)
+        c = cfg
+        if snr_range is not None:
+            c = dataclasses.replace(
+                cfg, snr_db=float(rng.uniform(*snr_range))
+            )
+        waves[utt] = synth_utterance(
+            texts[utt], lex, phones_tbl, unit_index, spk_params[spk],
+            c, rng,
+        )
+    return waves

@@ -1,0 +1,434 @@
+"""Hard synthetic stress run: 20k-word vocabulary, trigram LM, LM-scale
+TLG, noise/speaker/rate variability, homophones and OOVs in eval.
+
+The hardest available proxy for real-corpus validation (zero egress, no
+LDC/OpenSLR data): where the flagship synth run (examples/synth_recipe.py)
+is a 2 h / 500-word sanity pipeline, this run stresses exactly the parts
+that run was too easy to exercise (round-2 verdict):
+
+- ~20 h of audio, 64 speakers, per-utterance SNR drawn from [8, 25] dB;
+- 20,000-word lexicon with 400 HOMOPHONE pairs (identical prons, distinct
+  words — disambig symbols + the LM must separate them);
+- eval utterances contain ~2.5% OOV tokens (synthesized from real prons
+  but absent from the lexicon/LM — unrecognizable by construction);
+- text follows a class-conditioned Markov process so the trigram LM has
+  genuine predictive power over the bigram/unigram (acwt actually moves);
+- trigram LM (estimate_ngram_arpa) at LM scale -> multi-million-state
+  TLG via the native one-call build; the compiled graph is cached as
+  .npz for bench.py's LM-scale decode bench;
+- parity checks the easy corpus could not stress: acwt sweep (lattice
+  rescale) == direct re-decode, blank-skip == full decode on hard
+  content, plus the automatic blank-skip guard.
+
+Reference pipeline shape: asr_egs/wsj/run_ctc_phn.sh:21-97.
+
+Usage: python examples/stress_recipe.py [workdir] [--utts N] [--eval N]
+"""
+
+import argparse
+import dataclasses
+import json
+import multiprocessing
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from eesen_tpu.decoder.beam import BeamSearchConfig
+from eesen_tpu.decoder.graph_compile import CompiledGraph
+from eesen_tpu.decoder.score import compute_wer
+from eesen_tpu.frontend.features import FbankOptions, FrameOptions, MelOptions
+from eesen_tpu.frontend.pipeline import FeaturePipelineConfig
+from eesen_tpu.models.model import AcousticModelConfig
+from eesen_tpu.recipes.config import RecipeConfig
+from eesen_tpu.recipes.lm import estimate_ngram_arpa
+from eesen_tpu.recipes.run import RecipeRun
+from eesen_tpu.recipes.synth_corpus import (
+    SynthConfig, generate_corpus_from_texts, make_lexicon, make_phones,
+)
+from eesen_tpu.training.batching import BatchConfig
+from eesen_tpu.training.optim import OptimizerConfig
+from eesen_tpu.training.schedule import NewbobConfig
+
+BENCH_GRAPH_CACHE = "/tmp/eesen_bench_cache/tlg_stress.npz"
+
+VOCAB = 20000
+HOMOPHONES = 400
+OOV_WORDS = 200
+CLASSES = 4
+FANOUT = 40
+
+
+# ---------------------------------------------------------------------
+# text process: class-conditioned Markov chains over the vocabulary
+# ---------------------------------------------------------------------
+
+def build_text_process(n_words: int, rng: np.random.Generator):
+    """successors[c][w] = FANOUT candidate next-words given previous word
+    w and previous-previous CLASS c (w2 % CLASSES) — a genuinely
+    second-order process, so a trigram LM beats a bigram."""
+    succ = rng.integers(
+        0, n_words, size=(CLASSES, n_words, FANOUT), dtype=np.int32
+    )
+    # Zipf weights over the successor slots (shared across contexts)
+    w = (np.arange(1, FANOUT + 1, dtype=np.float64)) ** -1.1
+    w /= w.sum()
+    return succ, w
+
+
+def sample_sentences(
+    n_sents: int, succ, slot_p, n_words: int, rng: np.random.Generator,
+    min_w: int = 4, max_w: int = 10,
+) -> list:
+    lens = rng.integers(min_w, max_w + 1, size=n_sents)
+    slots = rng.choice(FANOUT, size=int(lens.sum()), p=slot_p)
+    out = []
+    pos = 0
+    for n in lens:
+        sent = np.empty(n, np.int32)
+        prev = int(rng.integers(0, n_words))
+        prev2 = int(rng.integers(0, n_words))
+        for i in range(n):
+            c = prev2 % CLASSES
+            w = int(succ[c, prev, slots[pos]])
+            pos += 1
+            sent[i] = w
+            prev2, prev = prev, w
+        out.append(sent)
+    return out
+
+
+# ---------------------------------------------------------------------
+# parallel synthesis (2 host cores)
+# ---------------------------------------------------------------------
+
+_G = {}
+
+
+def _synth_init(scfg, lexicon, phones_tbl, snr_range):
+    _G["args"] = (scfg, lexicon, phones_tbl, snr_range)
+
+
+def _synth_chunk(payload):
+    seed, texts, utt2spk = payload
+    scfg, lexicon, phones_tbl, snr_range = _G["args"]
+    waves = generate_corpus_from_texts(
+        scfg, texts, utt2spk, lexicon, phones_tbl,
+        snr_range=snr_range, seed=seed,
+    )
+    return {k: v.astype(np.int16) for k, v in waves.items()}
+
+
+def synth_parallel(scfg, texts, utt2spk, lexicon, phones_tbl, snr_range,
+                   procs=2, chunk=400):
+    keys = sorted(texts)
+    payloads = [
+        (1000 + i, {k: texts[k] for k in keys[i:i + chunk]},
+         {k: utt2spk[k] for k in keys[i:i + chunk]})
+        for i in range(0, len(keys), chunk)
+    ]
+    waves = {}
+    with multiprocessing.Pool(
+        procs, initializer=_synth_init,
+        initargs=(scfg, lexicon, phones_tbl, snr_range),
+    ) as pool:
+        for i, part in enumerate(pool.imap_unordered(_synth_chunk,
+                                                     payloads)):
+            waves.update(part)
+            if (i + 1) % 10 == 0:
+                print(f"  synth {len(waves)}/{len(keys)} utts", flush=True)
+    return waves
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir", nargs="?", default="/tmp/stress_recipe")
+    ap.add_argument("--utts", type=int, default=24000)
+    ap.add_argument("--cv", type=int, default=150)
+    ap.add_argument("--eval", type=int, default=300)
+    ap.add_argument("--lm-sents", type=int, default=300000)
+    ap.add_argument("--stage", type=int, default=0)
+    args = ap.parse_args()
+    os.makedirs(args.workdir, exist_ok=True)
+    os.makedirs(os.path.dirname(BENCH_GRAPH_CACHE), exist_ok=True)
+    t_all = time.time()
+
+    scfg = SynthConfig(
+        num_phones=40, num_words=VOCAB + OOV_WORDS, num_speakers=64,
+        snr_db=15.0, seed=3,
+    )
+    rng = np.random.default_rng(scfg.seed)
+    phones_tbl = make_phones(scfg, rng)
+    lex_path = os.path.join(args.workdir, "lexicon.pkl")
+    if os.path.exists(lex_path):
+        with open(lex_path, "rb") as f:
+            synth_lexicon, decode_lexicon, oov_words = pickle.load(f)
+    else:
+        full = make_lexicon(scfg, rng)       # VOCAB + OOV unique prons
+        # homophones: clone prons of 400 random words onto 400 others
+        # (within the decode vocab)
+        idx = rng.choice(VOCAB, size=2 * HOMOPHONES, replace=False)
+        full = list(full)
+        for a, b in zip(idx[:HOMOPHONES], idx[HOMOPHONES:]):
+            full[b] = (full[b][0], full[a][1])
+        synth_lexicon = full                      # all words synthesizable
+        decode_lexicon = full[:VOCAB]             # OOV words NOT in lexicon
+        oov_words = [w for w, _ in full[VOCAB:]]
+        with open(lex_path, "wb") as f:
+            pickle.dump((synth_lexicon, decode_lexicon, oov_words), f)
+    word_list = [w for w, _ in decode_lexicon]
+    print(f"lexicon: {len(decode_lexicon)} decode words "
+          f"({HOMOPHONES} homophone pairs), {len(oov_words)} OOV synth "
+          f"words", flush=True)
+
+    # ---- texts ----
+    succ, slot_p = build_text_process(VOCAB, np.random.default_rng(11))
+
+    def to_words(sents):
+        return [[word_list[int(j)] for j in s] for s in sents]
+
+    trng = np.random.default_rng(12)
+    tr_texts_l = to_words(sample_sentences(
+        args.utts, succ, slot_p, VOCAB, trng))
+    cv_texts_l = to_words(sample_sentences(
+        args.cv, succ, slot_p, VOCAB, trng))
+    ev_texts_l = to_words(sample_sentences(
+        args.eval, succ, slot_p, VOCAB, trng))
+    # OOV injection into eval: ~2.5% of tokens replaced by OOV words
+    n_oov = 0
+    for sent in ev_texts_l:
+        for i in range(len(sent)):
+            if trng.random() < 0.025:
+                sent[i] = oov_words[int(trng.integers(0, len(oov_words)))]
+                n_oov += 1
+    total_ev = sum(len(s) for s in ev_texts_l)
+    print(f"eval OOV tokens: {n_oov}/{total_ev} "
+          f"({100.0 * n_oov / total_ev:.2f}%) -> WER floor "
+          f"{100.0 * n_oov / total_ev:.2f}%", flush=True)
+
+    def mk_utts(texts_l, prefix):
+        texts, utt2spk = {}, {}
+        for i, ws in enumerate(texts_l):
+            spk = f"spk{i % scfg.num_speakers:03d}"
+            utt = f"{spk}_{prefix}{i:06d}"
+            texts[utt] = ws
+            utt2spk[utt] = spk
+        return texts, utt2spk
+
+    tr_texts, tr_spk = mk_utts(tr_texts_l, "tr")
+    cv_texts, cv_spk = mk_utts(cv_texts_l, "cv")
+    ev_texts, ev_spk = mk_utts(ev_texts_l, "ev")
+
+    # ---- stage A: synthesis (cached) ----
+    wav_cache = os.path.join(args.workdir, "waves.npz")
+    t0 = time.time()
+    if os.path.exists(wav_cache):
+        z = np.load(wav_cache)
+        all_waves = {k: z[k] for k in z.files}
+        print(f"waves loaded from cache ({time.time()-t0:.0f}s)",
+              flush=True)
+    else:
+        all_texts = {**tr_texts, **cv_texts, **ev_texts}
+        all_spk = {**tr_spk, **cv_spk, **ev_spk}
+        all_waves = synth_parallel(
+            scfg, all_texts, all_spk, synth_lexicon, phones_tbl,
+            snr_range=(8.0, 25.0),
+        )
+        np.savez(wav_cache, **all_waves)
+        print(f"synthesized {len(all_waves)} utts in "
+              f"{time.time()-t0:.0f}s", flush=True)
+    hours = sum(len(w) for w in all_waves.values()) / 16000 / 3600
+    print(f"total audio: {hours:.2f} h", flush=True)
+
+    # ---- recipe ----
+    cfg = RecipeConfig(
+        name="stress20k", dict_type="phn",
+        fbank=FbankOptions(
+            frame_opts=FrameOptions(dither=1.0),
+            mel_opts=MelOptions(num_bins=40),
+        ),
+        pipeline=FeaturePipelineConfig(norm_vars=True, delta_order=2),
+        model=AcousticModelConfig(
+            input_dim=120, cell_dim=320, num_layers=4, num_targets=-1,
+        ),
+        optimizer=OptimizerConfig(algorithm="rmsprop", max_grad=50.0),
+        newbob=NewbobConfig(learn_rate=5e-4, max_iters=10, min_iters=4),
+        batch=BatchConfig(num_sequence=128, frame_limit=80000,
+                          time_quant=128),
+        decode=BeamSearchConfig(beam=17.0, max_active=512, funnel_mult=2,
+                                acoustic_scale=0.9, lattice_beam=8.0,
+                                blank_skip=0.98),
+        blank_skip_guard=6,
+    )
+    units = [f"p{i:02d}" for i in range(scfg.num_phones)]
+    lex_full = decode_lexicon + [("<UNK>", (units[0],))]
+    run = RecipeRun(cfg, os.path.join(args.workdir, "exp"), lex_full, units)
+    run.build_lang()
+
+    class MemData:
+        def __init__(self, waves, texts, utt2spk):
+            self.wav_scp = waves
+            self.text = texts
+            self.utt2spk = utt2spk
+
+    # ---- stage B: features (cached) ----
+    feat_cache = os.path.join(args.workdir, "feats.npz")
+    t0 = time.time()
+    if os.path.exists(feat_cache):
+        z = np.load(feat_cache, allow_pickle=True)
+        feats = {k: z[k] for k in z.files}
+        print(f"features loaded from cache ({time.time()-t0:.0f}s)",
+              flush=True)
+    else:
+        all_texts = {**tr_texts, **cv_texts, **ev_texts}
+        all_spk = {**tr_spk, **cv_spk, **ev_spk}
+        d = MemData(
+            {k: w.astype(np.float32) for k, w in all_waves.items()},
+            all_texts, all_spk,
+        )
+        feats = run.compute_features(d)
+        np.savez(feat_cache,
+                 **{k: v.astype(np.float32) for k, v in feats.items()})
+        print(f"features in {time.time()-t0:.0f}s", flush=True)
+    labels = run.prep_labels(MemData({}, {**tr_texts, **cv_texts}, {}))
+
+    tr_f = {k: feats[k] for k in tr_texts}
+    cv_f = {k: feats[k] for k in cv_texts}
+    ev_f = {k: feats[k] for k in ev_texts}
+
+    # ---- stage C: train (orbax-resumable inside) ----
+    t0 = time.time()
+    hist = run.train(
+        tr_f, {k: labels[k] for k in tr_texts},
+        cv_f, {k: labels[k] for k in cv_texts},
+        epochs_batches_repeat=1,
+    )
+    print(f"train in {time.time()-t0:.0f}s", flush=True)
+    for e in sorted(hist):
+        print(f"  epoch {e}: train {hist[e]['train_acc']:.2f}% "
+              f"cv {hist[e]['cv_acc']:.2f}%", flush=True)
+
+    # ---- stage D: trigram LM + LM-scale TLG (cached as npz) ----
+    graph_cache = os.path.join(args.workdir, "tlg.npz")
+    t0 = time.time()
+    if os.path.exists(graph_cache):
+        run.graph = CompiledGraph.load(graph_cache)
+        print(f"graph loaded from cache ({time.time()-t0:.0f}s)",
+              flush=True)
+    else:
+        lm_sents = to_words(sample_sentences(
+            args.lm_sents, succ, slot_p, VOCAB,
+            np.random.default_rng(13)))
+        arpa = estimate_ngram_arpa(
+            lm_sents + list(tr_texts.values()), order=3,
+            vocab=word_list, min_counts=(1, 1, 2),
+        )
+        n1 = arpa.count("\n", arpa.find("\\1-grams"),
+                        arpa.find("\\2-grams"))
+        print(f"LM estimated in {time.time()-t0:.0f}s "
+              f"({len(arpa.splitlines())} lines)", flush=True)
+        from eesen_tpu.decoder.arpa import arpa_to_fst
+        from eesen_tpu.decoder.ctc_graph import build_full_compiled
+        t0 = time.time()
+        g = arpa_to_fst(arpa, run.lang.words)
+        print(f"G fst in {time.time()-t0:.0f}s: {g.num_states} states "
+              f"{g.num_arcs} arcs", flush=True)
+        t0 = time.time()
+        run.graph = build_full_compiled(
+            run.lang.t_fst, run.lang.l_fst, g, build_closure=True,
+        )
+        print(f"TLG in {time.time()-t0:.0f}s", flush=True)
+        run.graph.save(graph_cache)
+    g = run.graph
+    print(f"TLG: {g.num_states} states, "
+          f"{g.num_emit_arcs + g.num_eps_arcs} arcs", flush=True)
+    # share with bench.py (LM-scale decode bench): graph + pron rows so
+    # the bench can synthesize realistic converged-CTC posteriors whose
+    # token paths exist in this graph
+    if not os.path.exists(BENCH_GRAPH_CACHE):
+        g.save(BENCH_GRAPH_CACHE)
+        prng = np.random.default_rng(5)
+        pick = prng.choice(len(decode_lexicon), size=512, replace=False)
+        max_pron = max(len(p) for _, p in decode_lexicon)
+        prons = np.full((512, max_pron), -1, np.int32)
+        for r, i in enumerate(pick):
+            for c, u in enumerate(decode_lexicon[int(i)][1]):
+                prons[r, c] = run.lang.tokens[u]
+        np.savez(BENCH_GRAPH_CACHE.replace(".npz", "_meta.npz"),
+                 prons=prons, num_tokens=len(units))
+
+    # ---- stage E: decode + parity evidence ----
+    refs = {k: ev_texts[k] for k in ev_f}
+
+    # E1: guarded sweep (decode once, rescale per acwt)
+    t0 = time.time()
+    sweep = run.score_sweep(ev_f, refs)
+    sweep_s = time.time() - t0
+    best_acwt, best = min(sweep.items(), key=lambda kv: kv[1].wer)
+    for acwt in sorted(sweep):
+        print(f"  acwt {acwt}: {sweep[acwt].report()}", flush=True)
+    print(f"decode+sweep in {sweep_s:.0f}s; best acwt {best_acwt} "
+          f"-> {best.wer:.2f}%", flush=True)
+
+    # E2: sweep == direct re-decode at a different acwt
+    alt_acwt = 0.6 if best_acwt != 0.6 else 0.7
+    t0 = time.time()
+    direct, _ = run.decode(ev_f, refs, acoustic_scale=alt_acwt)
+    print(f"direct decode at acwt {alt_acwt}: {direct.report()} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+    sweep_alt = sweep[alt_acwt].wer
+    parity_sweep = abs(direct.wer - sweep_alt) < 1e-9
+
+    # E3: blank-skip vs full decode on the whole eval set
+    t0 = time.time()
+    full_cfg = dataclasses.replace(cfg.decode, blank_skip=0.0)
+    run.cfg = dataclasses.replace(cfg, decode=full_cfg)
+    full_stats, full_hyps = run.decode(ev_f, refs)
+    run.cfg = cfg
+    skip_stats, skip_hyps = run.decode(ev_f, refs)
+    n_diff = sum(
+        1 for k in full_hyps if full_hyps[k] != skip_hyps.get(k)
+    )
+    print(f"blank-skip parity: full {full_stats.wer:.2f}% vs skip "
+          f"{skip_stats.wer:.2f}%; {n_diff}/{len(full_hyps)} utts differ "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
+    res = {
+        "corpus": {
+            "hours": round(hours, 2), "vocab": VOCAB,
+            "homophone_pairs": HOMOPHONES,
+            "oov_tokens_pct": round(100.0 * n_oov / total_ev, 2),
+            "speakers": scfg.num_speakers, "snr_db": [8.0, 25.0],
+            "train_utts": args.utts, "eval_utts": args.eval,
+        },
+        "graph": {
+            "states": g.num_states,
+            "arcs": g.num_emit_arcs + g.num_eps_arcs,
+            "lm_order": 3,
+        },
+        "final_cv_acc": hist[max(hist)]["cv_acc"],
+        "sweep": {str(a): round(s.wer, 2) for a, s in sweep.items()},
+        "best_acwt": best_acwt, "wer": best.wer,
+        "wer_report": best.report(),
+        "direct_decode_acwt": alt_acwt, "direct_wer": direct.wer,
+        "sweep_equals_direct": bool(parity_sweep),
+        "blank_skip_wer": skip_stats.wer, "full_wer": full_stats.wer,
+        "blank_skip_diff_utts": n_diff,
+        "decode_sweep_s": round(sweep_s, 1),
+        "total_s": round(time.time() - t_all, 1),
+    }
+    with open(os.path.join(args.workdir, "results.json"), "w") as f:
+        json.dump(res, f, indent=2)
+    print("RESULT", json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()
