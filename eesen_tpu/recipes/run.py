@@ -98,10 +98,61 @@ class RecipeRun:
         self, data: DataDir, dither_seed: Optional[int] = 0
     ) -> Dict[str, np.ndarray]:
         """wav.scp -> pipeline features, with per-speaker CMVN."""
+        raw = self._raw_fbank(data, dither_seed)
+        cmvn = speaker_cmvn_stats(raw, data.utt2spk)
+        pipe = FeaturePipeline(self.cfg.pipeline, cmvn, data.utt2spk)
+        return {k: pipe(k, v) for k, v in raw.items()}
+
+    def compute_augmented_features(
+        self,
+        data: DataDir,
+        tags=None,
+        dither_seed: Optional[int] = 0,
+    ) -> Dict[str, Dict[str, np.ndarray]]:
+        """Per-tag pipeline features for the multi-view augmentation flow
+        (reference: make_fbank_mult.sh over fbconf-{8,10,11} x
+        --vtln-warp {0.8,1.0,1.2}).  CMVN stats come from the canonical
+        10_1.0 view only and are applied to every view
+        (compute_cmvn_stats_mult.sh --tag 10_1.0).  Returns
+        {tag_name: {utt: feats}}."""
+        from eesen_tpu.recipes.augment import base_tag, librispeech_tags
+
+        tags = tags or librispeech_tags()
+        base = base_tag(tags)
+        raw_by_tag = {
+            t.name: self._raw_fbank(
+                data, dither_seed,
+                frame_shift_ms=t.frame_shift_ms, vtln_warp=t.vtln_warp,
+            )
+            for t in tags
+        }
+        cmvn = speaker_cmvn_stats(raw_by_tag[base.name], data.utt2spk)
+        pipe = FeaturePipeline(self.cfg.pipeline, cmvn, data.utt2spk)
+        return {
+            name: {k: pipe(k, v) for k, v in raw.items()}
+            for name, raw in raw_by_tag.items()
+        }
+
+    def _raw_fbank(
+        self,
+        data: DataDir,
+        dither_seed: Optional[int] = 0,
+        frame_shift_ms: Optional[float] = None,
+        vtln_warp: float = 1.0,
+    ) -> Dict[str, np.ndarray]:
         raw: Dict[str, np.ndarray] = {}
-        fb = jax.jit(jax.vmap(lambda w: fbank(w, self.cfg.fbank)))
+        opts = self.cfg.fbank
+        if frame_shift_ms is not None:
+            opts = dataclasses.replace(
+                opts, frame_opts=dataclasses.replace(
+                    opts.frame_opts, frame_shift_ms=frame_shift_ms,
+                ),
+            )
+        fb = jax.jit(jax.vmap(lambda w: fbank(w, opts,
+                                              vtln_warp=vtln_warp)))
         fbd = jax.jit(
-            jax.vmap(lambda w, r: fbank(w, self.cfg.fbank, dither_rng=r))
+            jax.vmap(lambda w, r: fbank(w, opts, vtln_warp=vtln_warp,
+                                        dither_rng=r))
         )
         rng = (
             jax.random.PRNGKey(dither_seed) if dither_seed is not None
@@ -131,7 +182,7 @@ class RecipeRun:
             wp = np.zeros((fbatch, bucket), np.float32)
             for j, k in enumerate(chunk):
                 wp[j, : len(waves[k])] = waves[k]
-            if rng is not None and self.cfg.fbank.frame_opts.dither != 0.0:
+            if rng is not None and opts.frame_opts.dither != 0.0:
                 rng, sub = jax.random.split(rng)
                 out = np.asarray(
                     fbd(jnp.asarray(wp), jax.random.split(sub, fbatch))
@@ -139,11 +190,9 @@ class RecipeRun:
             else:
                 out = np.asarray(fb(jnp.asarray(wp)))
             for j, k in enumerate(chunk):
-                nf = num_frames(len(waves[k]), self.cfg.fbank.frame_opts)
+                nf = num_frames(len(waves[k]), opts.frame_opts)
                 raw[k] = out[j, :nf]
-        cmvn = speaker_cmvn_stats(raw, data.utt2spk)
-        pipe = FeaturePipeline(self.cfg.pipeline, cmvn, data.utt2spk)
-        return {k: pipe(k, v) for k, v in raw.items()}
+        return raw
 
     # ---- stage 3: training ----
     def train(
@@ -153,7 +202,15 @@ class RecipeRun:
         cv_feats: Dict[str, np.ndarray],
         cv_labels: Dict[str, np.ndarray],
         epochs_batches_repeat: int = 1,
+        tagged_feats: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
+        tag_order: Optional[List[str]] = None,
     ) -> Dict:
+        """With tagged_feats (from compute_augmented_features), each
+        newbob epoch trains on ONE augmented feature view, rotating
+        through tag_order (default: the reference's LibriSpeech list) —
+        steps/train_ctc_parallel_mult.sh:205; train_feats then serves as
+        the canonical view for the final epochs and CV stays on the
+        canonical features."""
         assert self.lang is not None
         num_targets = len(self.units) + 1   # blank + units
         model_cfg = dataclasses.replace(
@@ -177,9 +234,26 @@ class RecipeRun:
 
         tr_utts, cv_utts = mk(train_feats, train_labels), mk(cv_feats, cv_labels)
 
-        def train_iter():
-            for _ in range(epochs_batches_repeat):
-                yield from make_batches(tr_utts, self.cfg.batch)
+        if tagged_feats:
+            from eesen_tpu.recipes.augment import (
+                LIBRISPEECH_ROTATION, rotation_tag,
+            )
+            order = tag_order or [
+                t for t in LIBRISPEECH_ROTATION if t in tagged_feats
+            ]
+            utts_by_tag = {
+                tag: mk(fe, train_labels) for tag, fe in tagged_feats.items()
+            }
+
+            def train_iter(epoch):
+                tag = rotation_tag(order, epoch)
+                log.info("epoch %d: augmentation tag %s", epoch, tag)
+                for _ in range(epochs_batches_repeat):
+                    yield from make_batches(utts_by_tag[tag], self.cfg.batch)
+        else:
+            def train_iter():
+                for _ in range(epochs_batches_repeat):
+                    yield from make_batches(tr_utts, self.cfg.batch)
 
         def cv_iter():
             yield from make_batches(cv_utts, self.cfg.batch)

@@ -389,11 +389,21 @@ class Trainer:
             if latest is not None:
                 log.info("resuming from epoch %d checkpoint", latest)
                 self.restore_checkpoint(latest)
+        # batch sources may take the (1-based) epoch number — the hook
+        # the multi-tag augmentation rotation uses
+        # (steps/train_ctc_parallel_mult.sh:205 picks the feature view
+        # by (iter-1) % n_tags)
+        import inspect
+        takes_epoch = bool(inspect.signature(train_batches_fn).parameters)
         history = {}
         while True:
             epoch = self.sched.epoch
             lr = self.sched.learn_rate
-            tr = self.run_epoch(train_batches_fn(), True, lr)
+            tr = self.run_epoch(
+                train_batches_fn(epoch) if takes_epoch
+                else train_batches_fn(),
+                True, lr,
+            )
             cv = self.run_epoch(cv_batches_fn(), False, lr)
             log.info(
                 "EPOCH %d: lrate %.6g, TRAIN ACCURACY %.4f%%, "

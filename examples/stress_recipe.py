@@ -154,7 +154,7 @@ def main():
     ap.add_argument("--utts", type=int, default=24000)
     ap.add_argument("--cv", type=int, default=150)
     ap.add_argument("--eval", type=int, default=300)
-    ap.add_argument("--lm-sents", type=int, default=300000)
+    ap.add_argument("--lm-sents", type=int, default=200000)
     ap.add_argument("--stage", type=int, default=0)
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
@@ -327,14 +327,17 @@ def main():
         lm_sents = to_words(sample_sentences(
             args.lm_sents, succ, slot_p, VOCAB,
             np.random.default_rng(13)))
+        # pruned trigram (count >= 2 at orders 2-3), the reference's
+        # "tgpr" shape (asr_egs/wsj run_ctc_phn.sh tgpr decode)
         arpa = estimate_ngram_arpa(
             lm_sents + list(tr_texts.values()), order=3,
-            vocab=word_list, min_counts=(1, 1, 2),
+            vocab=word_list, min_counts=(1, 2, 2),
         )
-        n1 = arpa.count("\n", arpa.find("\\1-grams"),
-                        arpa.find("\\2-grams"))
         print(f"LM estimated in {time.time()-t0:.0f}s "
               f"({len(arpa.splitlines())} lines)", flush=True)
+        import gzip
+        with gzip.open(os.path.join(args.workdir, "lm.arpa.gz"), "wt") as f:
+            f.write(arpa)
         from eesen_tpu.decoder.arpa import arpa_to_fst
         from eesen_tpu.decoder.ctc_graph import build_full_compiled
         t0 = time.time()
@@ -401,7 +404,61 @@ def main():
           f"{skip_stats.wer:.2f}%; {n_diff}/{len(full_hyps)} utts differ "
           f"({time.time()-t0:.0f}s)", flush=True)
 
+    # E4: const-arpa trie at LM scale — build/load time + memory, and
+    # rescoring parity with the G-fst LmAutomaton on real lattices
+    # (reference: src/lm/const-arpa-lm.h:32,202)
+    const_arpa_res = {}
+    arpa_path = os.path.join(args.workdir, "lm.arpa.gz")
+    if os.path.exists(arpa_path):
+        import gzip
+        from eesen_tpu.decoder.arpa import arpa_to_fst
+        from eesen_tpu.decoder.const_arpa import ConstArpa
+        from eesen_tpu.decoder.rescore import LmAutomaton, rescore_lattice
+
+        with gzip.open(arpa_path, "rt") as f:
+            arpa = f.read()
+        t0 = time.time()
+        trie = ConstArpa.from_arpa(arpa, run.lang.words)
+        build_s = time.time() - t0
+        trie_path = os.path.join(args.workdir, "lm_const.npz")
+        trie.save(trie_path)
+        t0 = time.time()
+        trie = ConstArpa.load(trie_path, mmap=True)
+        load_s = time.time() - t0
+        t0 = time.time()
+        g_fst = arpa_to_fst(arpa, run.lang.words)
+        auto = LmAutomaton(g_fst, backoff_ilabel=run.lang.words["#0"])
+        gfst_s = time.time() - t0
+        sample = sorted(ev_f)[:10]
+        lats = run.decode_lattices({k: ev_f[k] for k in sample})
+        from eesen_tpu.decoder.clat import compact_to_lattice
+        n_match = 0
+        t_trie = t_auto = 0.0
+        for k in sample:
+            lat = compact_to_lattice(lats[k].scaled(best_acwt))
+            t0 = time.time()
+            ra = rescore_lattice(lat, auto, lm_scale_new=0.5)
+            t_auto += time.time() - t0
+            t0 = time.time()
+            rt = rescore_lattice(lat, trie, lm_scale_new=0.5)
+            t_trie += time.time() - t0
+            pa, pt = ra.best_path(), rt.best_path()
+            if pa[1] == pt[1] and abs(pa[2] - pt[2]) < 1e-3:
+                n_match += 1
+        const_arpa_res = {
+            "ngrams": trie.num_ngrams,
+            "bytes": trie.bytes(),
+            "build_s": round(build_s, 1),
+            "mmap_load_s": round(load_s, 3),
+            "gfst_automaton_s": round(gfst_s, 1),
+            "rescore_parity": f"{n_match}/{len(sample)}",
+            "rescore_s_per_utt_trie": round(t_trie / len(sample), 3),
+            "rescore_s_per_utt_gfst": round(t_auto / len(sample), 3),
+        }
+        print("const-arpa:", json.dumps(const_arpa_res), flush=True)
+
     res = {
+        "const_arpa": const_arpa_res,
         "corpus": {
             "hours": round(hours, 2), "vocab": VOCAB,
             "homophone_pairs": HOMOPHONES,
