@@ -427,13 +427,24 @@ def cmd_latgen(args) -> int:
         beam=args.beam, max_active=args.max_active,
         acoustic_scale=args.acoustic_scale,
     )
+    if getattr(args, "blank_skip", 0.0) > 0.0:
+        cfg = dataclasses.replace(cfg, blank_skip=args.blank_skip)
     want_lats = getattr(args, "lattice_ark", None)
     if want_lats:
         cfg = dataclasses.replace(
             cfg, lattice_beam=args.lattice_beam
         )
-    decoder = make_beam_decoder(graph, cfg)
-    dg = DeviceGraph.put(graph)
+    streaming = getattr(args, "streaming", False)
+    if streaming:
+        # chunked online decode with carried search state (identical
+        # results to the offline one-shot decode; parity-plus — the
+        # reference's online-decoding code is dead in its recipes)
+        assert not want_lats, "--streaming emits text only"
+        from eesen_tpu.decoder.beam import StreamingBeamDecoder
+        sdec = StreamingBeamDecoder(graph, cfg)
+    else:
+        decoder = make_beam_decoder(graph, cfg)
+        dg = DeviceGraph.put(graph)
 
     batch, keys = [], []
     lats = []
@@ -448,20 +459,37 @@ def cmd_latgen(args) -> int:
         for i, x in enumerate(batch):
             arr[i, : len(x)] = x
             lens[i] = len(x)
-        if getattr(args, "blank_skip", 0.0) > 0.0:
-            from eesen_tpu.decoder.frame_skip import compact_blank_frames
-            cf = compact_blank_frames(
-                jnp.asarray(arr), lens, args.blank_skip,
-                args.acoustic_scale,
-            )
-            arr = np.asarray(cf.loglikes)
-            lens = np.asarray(cf.lengths)
-            out = decoder(cf.loglikes, cf.lengths, dg)
+        if streaming:
+            ck = args.chunk_frames
+            t_pad = -(-t_max // ck) * ck
+            if t_pad > t_max:
+                arr = np.pad(arr, ((0, 0), (0, t_pad - t_max), (0, 0)),
+                             constant_values=-30.0)
+            st = sdec.start(len(batch))
+            for t0 in range(0, t_pad, ck):
+                active = (
+                    (t0 + np.arange(ck))[None, :] < lens[:, None]
+                )
+                st = sdec.accept(
+                    st, jnp.asarray(arr[:, t0:t0 + ck]), active,
+                )
+            results = sdec.finish(st)
         else:
-            out = decoder(jnp.asarray(arr), jnp.asarray(lens), dg)
-        for i, (wids, cost) in enumerate(
-            traceback(out, lens, graph.final_weight)
-        ):
+            if getattr(args, "blank_skip", 0.0) > 0.0:
+                from eesen_tpu.decoder.frame_skip import (
+                    compact_blank_frames,
+                )
+                cf = compact_blank_frames(
+                    jnp.asarray(arr), lens, args.blank_skip,
+                    args.acoustic_scale,
+                )
+                arr = np.asarray(cf.loglikes)
+                lens = np.asarray(cf.lengths)
+                out = decoder(cf.loglikes, cf.lengths, dg)
+            else:
+                out = decoder(jnp.asarray(arr), jnp.asarray(lens), dg)
+            results = traceback(out, lens, graph.final_weight)
+        for i, (wids, cost) in enumerate(results):
             text = (
                 " ".join(words.sym(w) for w in wids) if words
                 else " ".join(map(str, wids))
@@ -1435,6 +1463,11 @@ def main(argv=None) -> int:
     p.add_argument("--blank-skip", type=float, default=0.0,
                    help="skip frames with blank posterior above this "
                         "(phone-synchronous decoding; 0 disables)")
+    p.add_argument("--streaming", action="store_true",
+                   help="chunked online decode with carried search "
+                        "state (results identical to offline)")
+    p.add_argument("--chunk-frames", type=int, default=32,
+                   help="frames per streaming chunk")
     p.add_argument("graph")
     p.add_argument("loglikes_rspecifier")
     p.add_argument("out")

@@ -126,6 +126,20 @@ def test_cli_train_decode_score(tmp_path):
     hyps_s = {l.split()[0]: l.split()[1:] for l in open(hyp_s) if l.split()}
     assert hyps_s == hyps
 
+    # streaming (chunked, carried-state) decode must be identical to the
+    # offline decode
+    hyp_st = str(tmp_path / "hyp_stream.txt")
+    assert main([
+        "latgen", "--acoustic-scale", "0.9", "--beam", "20",
+        "--max-active", "256", "--words", wpath,
+        "--streaming", "--chunk-frames", "16",
+        gpath, f"ark:{post}", hyp_st,
+    ]) == 0
+    hyps_st = {
+        l.split()[0]: l.split()[1:] for l in open(hyp_st) if l.split()
+    }
+    assert hyps_st == hyps
+
     # WER of the direct decode
     ref = str(tmp_path / "ref.txt")
     with open(ref, "w") as f:
