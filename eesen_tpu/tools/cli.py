@@ -969,6 +969,71 @@ def cmd_lattice_1best(args) -> int:
     return 0
 
 
+def cmd_arpa_to_const_lm(args) -> int:
+    """Build the compact const-arpa trie from ARPA text and write the
+    mmap-able .npz image (reference: ConstArpaLm Write,
+    src/lm/const-arpa-lm.h:82)."""
+    import gzip
+
+    from eesen_tpu.decoder.const_arpa import ConstArpa
+    from eesen_tpu.decoder.ctc_graph import SymbolTable
+
+    opener = gzip.open if args.arpa.endswith(".gz") else open
+    with opener(args.arpa, "rt") as f:
+        text = f.read()
+    words = SymbolTable.read(args.words)
+    trie = ConstArpa.from_arpa(text, words)
+    trie.save(args.out)
+    print(
+        f"const-arpa: order {trie.order}, {trie.num_ngrams} ngrams, "
+        f"{trie.num_states} states, {trie.bytes()} bytes -> {args.out}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_lattice_rescore(args) -> int:
+    """Rescore lattice archives with a bigger LM: either a const-arpa
+    .npz image (mmap-loaded) or ARPA text (via the G-fst automaton).
+    Replaces `lm_scale_old` of the graph cost with the new LM's score
+    (the reference's ConstArpaLmDeterministicFst composition,
+    src/lm/const-arpa-lm.h:202)."""
+    from eesen_tpu.decoder.clat import (
+        compact_to_lattice, determinize_lattice_pruned,
+    )
+    from eesen_tpu.decoder.rescore import rescore_lattice
+
+    if args.lm.endswith(".npz"):
+        from eesen_tpu.decoder.const_arpa import ConstArpa
+        lm = ConstArpa.load(args.lm, mmap=True)
+    else:
+        import gzip
+
+        from eesen_tpu.decoder.arpa import arpa_to_fst
+        from eesen_tpu.decoder.ctc_graph import SymbolTable
+        from eesen_tpu.decoder.rescore import LmAutomaton
+        opener = gzip.open if args.lm.endswith(".gz") else open
+        with opener(args.lm, "rt") as f:
+            text = f.read()
+        words = SymbolTable.read(args.words)
+        g = arpa_to_fst(text, words)
+        bo = words["#0"] if "#0" in words else None
+        lm = LmAutomaton(g, backoff_ilabel=bo)
+
+    def gen():
+        for key, lat in _lattice_items(args.in_ark):
+            if hasattr(lat, "scaled"):
+                lat = compact_to_lattice(lat)
+            out = rescore_lattice(
+                lat, lm, lm_scale_new=args.lm_scale,
+                old_graph_scale=args.old_graph_scale,
+            )
+            yield key, determinize_lattice_pruned(out)
+
+    _write_lattices(args.out_ark, gen(), args.binary)
+    return 0
+
+
 def cmd_lattice_confidence(args) -> int:
     """Sentence-level confidence: best-vs-second-best total-cost margin
     per utterance (lat/confidence.cc SentenceLevelConfidence; the
@@ -1620,6 +1685,23 @@ def main(argv=None) -> int:
     p = sub.add_parser("lattice-1best")
     _lat_io(p, scale=True)
     p.set_defaults(func=cmd_lattice_1best)
+
+    p = sub.add_parser("arpa-to-const-lm")
+    p.add_argument("arpa")
+    p.add_argument("words")
+    p.add_argument("out")
+    p.set_defaults(func=cmd_arpa_to_const_lm)
+
+    p = sub.add_parser("lattice-rescore")
+    p.add_argument("in_ark")
+    p.add_argument("lm", help=".npz const-arpa image or ARPA text(.gz)")
+    p.add_argument("out_ark")
+    p.add_argument("--words", default="",
+                   help="words.txt (needed for ARPA text input)")
+    p.add_argument("--lm-scale", type=float, default=1.0)
+    p.add_argument("--old-graph-scale", type=float, default=0.0)
+    p.add_argument("--binary", action="store_true")
+    p.set_defaults(func=cmd_lattice_rescore)
 
     p = sub.add_parser("lattice-confidence")
     p.add_argument("in_ark")

@@ -119,3 +119,59 @@ def test_const_arpa_compactness():
     assert n > 1000
     # ~13 bytes per child + state overhead
     assert trie.bytes() < 40 * n + 64 * trie.num_states
+
+
+def test_cli_const_lm_and_rescore(tmp_path):
+    """arpa-to-const-lm + lattice-rescore (npz and ARPA inputs give the
+    same best paths) + lattice-confidence smoke."""
+    from eesen_tpu.decoder.lattice import Lattice, LatticeArc
+    from eesen_tpu.decoder.lattice_io import (
+        read_lattice_ark, write_lattice_ark,
+    )
+    from eesen_tpu.tools.cli import main
+
+    rng = np.random.default_rng(4)
+    vocab = [f"w{i}" for i in range(10)]
+    sents = [
+        [vocab[int(j)] for j in rng.integers(0, 10, 5)] for _ in range(200)
+    ]
+    arpa = estimate_ngram_arpa(sents, order=3, vocab=vocab)
+    words = make_word_table(vocab)
+    arpa_path = str(tmp_path / "lm.arpa")
+    with open(arpa_path, "w") as f:
+        f.write(arpa)
+    wpath = str(tmp_path / "words.txt")
+    words.write(wpath)
+
+    # a small 2-path lattice
+    lat = Lattice()
+    for fr in range(3):
+        lat.add_state(fr)
+    lat.start = 0
+    lat.arcs[0].append(LatticeArc(1, words["w1"], 0.5, 1.0, 1))
+    lat.arcs[0].append(LatticeArc(2, words["w2"], 0.4, 1.1, 1))
+    lat.arcs[1].append(LatticeArc(3, words["w3"], 0.2, 0.8, 2))
+    lat.finals[2] = 0.0
+    ark = str(tmp_path / "in.lat.ark")
+    write_lattice_ark(ark, iter([("utt1", lat)]), binary=False)
+
+    npz = str(tmp_path / "lm.npz")
+    assert main(["arpa-to-const-lm", arpa_path, wpath, npz]) == 0
+
+    out1 = str(tmp_path / "res_npz.ark")
+    out2 = str(tmp_path / "res_arpa.ark")
+    assert main(["lattice-rescore", ark, npz, out1,
+                 "--lm-scale", "0.7"]) == 0
+    assert main(["lattice-rescore", ark, arpa_path, out2,
+                 "--words", wpath, "--lm-scale", "0.7"]) == 0
+    (k1, l1), = list(read_lattice_ark(out1))
+    (k2, l2), = list(read_lattice_ark(out2))
+    p1, p2 = l1.best_path(), l2.best_path()
+    assert k1 == k2 == "utt1"
+    assert p1[1] == p2[1]
+    assert p1[2] == pytest.approx(p2[2], abs=1e-4)
+
+    conf = str(tmp_path / "conf.txt")
+    assert main(["lattice-confidence", out1, "--out", conf]) == 0
+    line = open(conf).read().split()
+    assert line[0] == "utt1" and len(line) == 3
