@@ -318,12 +318,10 @@ def main():
 
     # ---- stage D: trigram LM + LM-scale TLG (cached as npz) ----
     graph_cache = os.path.join(args.workdir, "tlg.npz")
-    t0 = time.time()
-    if os.path.exists(graph_cache):
-        run.graph = CompiledGraph.load(graph_cache)
-        print(f"graph loaded from cache ({time.time()-t0:.0f}s)",
-              flush=True)
-    else:
+    arpa_path = os.path.join(args.workdir, "lm.arpa.gz")
+    import gzip
+    if not os.path.exists(arpa_path):
+        t0 = time.time()
         lm_sents = to_words(sample_sentences(
             args.lm_sents, succ, slot_p, VOCAB,
             np.random.default_rng(13)))
@@ -335,9 +333,16 @@ def main():
         )
         print(f"LM estimated in {time.time()-t0:.0f}s "
               f"({len(arpa.splitlines())} lines)", flush=True)
-        import gzip
-        with gzip.open(os.path.join(args.workdir, "lm.arpa.gz"), "wt") as f:
+        with gzip.open(arpa_path, "wt") as f:
             f.write(arpa)
+    t0 = time.time()
+    if os.path.exists(graph_cache):
+        run.graph = CompiledGraph.load(graph_cache)
+        print(f"graph loaded from cache ({time.time()-t0:.0f}s)",
+              flush=True)
+    else:
+        with gzip.open(arpa_path, "rt") as f:
+            arpa = f.read()
         from eesen_tpu.decoder.arpa import arpa_to_fst
         from eesen_tpu.decoder.ctc_graph import build_full_compiled
         t0 = time.time()
@@ -381,14 +386,26 @@ def main():
     print(f"decode+sweep in {sweep_s:.0f}s; best acwt {best_acwt} "
           f"-> {best.wer:.2f}%", flush=True)
 
-    # E2: sweep == direct re-decode at a different acwt
-    alt_acwt = 0.6 if best_acwt != 0.6 else 0.7
+    # E2a: sweep == direct re-decode AT THE DECODE ACWT (the exact-parity
+    # invariant: the lattice provably contains the best path of the
+    # search it came from; at other acwts the sweep is a lattice
+    # approximation, bounded by lattice_beam — same as the reference's
+    # decode-once + lattice-scale scoring, local/score.sh:44-55)
+    dec_acwt = cfg.decode.acoustic_scale
     t0 = time.time()
-    direct, _ = run.decode(ev_f, refs, acoustic_scale=alt_acwt)
-    print(f"direct decode at acwt {alt_acwt}: {direct.report()} "
+    direct, _ = run.decode(ev_f, refs, acoustic_scale=dec_acwt)
+    print(f"direct decode at decode acwt {dec_acwt}: {direct.report()} "
           f"({time.time()-t0:.0f}s)", flush=True)
-    sweep_alt = sweep[alt_acwt].wer
-    parity_sweep = abs(direct.wer - sweep_alt) < 1e-9
+    parity_sweep = abs(direct.wer - sweep[dec_acwt].wer) < 1e-9
+
+    # E2b: the lattice-approximation gap at the swept best acwt — a
+    # direct search at best_acwt may find paths the dec_acwt-pruned
+    # lattice lost; record the gap (hard content exercises it)
+    t0 = time.time()
+    alt_acwt = best_acwt
+    direct_alt, _ = run.decode(ev_f, refs, acoustic_scale=alt_acwt)
+    print(f"direct decode at best acwt {alt_acwt}: "
+          f"{direct_alt.report()} ({time.time()-t0:.0f}s)", flush=True)
 
     # E3: blank-skip vs full decode on the whole eval set
     t0 = time.time()
@@ -475,8 +492,12 @@ def main():
         "sweep": {str(a): round(s.wer, 2) for a, s in sweep.items()},
         "best_acwt": best_acwt, "wer": best.wer,
         "wer_report": best.report(),
-        "direct_decode_acwt": alt_acwt, "direct_wer": direct.wer,
+        "direct_decode_acwt": dec_acwt, "direct_wer": direct.wer,
         "sweep_equals_direct": bool(parity_sweep),
+        "direct_at_best_acwt": {
+            "acwt": alt_acwt, "wer": direct_alt.wer,
+            "sweep_wer": sweep[alt_acwt].wer,
+        },
         "blank_skip_wer": skip_stats.wer, "full_wer": full_stats.wer,
         "blank_skip_diff_utts": n_diff,
         "decode_sweep_s": round(sweep_s, 1),
@@ -485,6 +506,80 @@ def main():
     with open(os.path.join(args.workdir, "results.json"), "w") as f:
         json.dump(res, f, indent=2)
     print("RESULT", json.dumps(res), flush=True)
+    write_results_md(res, sweep)
+
+
+def write_results_md(res, sweep):
+    """Append/replace the stress-corpus section of RESULTS.md."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "RESULTS.md")
+    marker = "## Stress corpus"
+    head = ""
+    if os.path.exists(path):
+        head = open(path).read().split(marker)[0].rstrip() + "\n\n"
+    c, g = res["corpus"], res["graph"]
+    lines = [
+        marker + " (20k-word vocabulary, trigram LM, LM-scale TLG)",
+        "",
+        "The hard proxy for real-corpus validation "
+        "(examples/stress_recipe.py):",
+        f"{c['hours']} h audio, {c['speakers']} speakers, per-utterance "
+        f"SNR 8-25 dB, {c['vocab']}-word lexicon with "
+        f"{c['homophone_pairs']} homophone pairs, {c['oov_tokens_pct']}% "
+        "OOV tokens in eval (unrecognizable by construction — the WER "
+        "floor), class-conditioned Markov text so the trigram LM has "
+        "genuine predictive power.",
+        "",
+        f"- TLG: **{g['states']:,} states / {g['arcs']:,} arcs** "
+        "(order-3 LM, native one-call build)",
+        f"- final cv token accuracy: {res['final_cv_acc']:.2f}%",
+        "",
+        "| acwt | WER |",
+        "|---|---|",
+    ]
+    for acwt in sorted(sweep):
+        mark = " **(best)**" if acwt == res["best_acwt"] else ""
+        lines.append(f"| {acwt} | {sweep[acwt].wer:.2f}%{mark} |")
+    lines += [
+        "",
+        f"Best: **{res['wer']:.2f}% WER** at acwt {res['best_acwt']} "
+        f"({res['wer_report']}).",
+        "",
+        "Parity evidence on hard content:",
+        f"- sweep (lattice rescale) == direct re-decode at the decode "
+        f"acwt {res['direct_decode_acwt']}: "
+        f"{'EXACT' if res['sweep_equals_direct'] else 'MISMATCH'} "
+        f"({res['direct_wer']:.2f}%)",
+        f"- lattice-approximation gap at the swept best acwt "
+        f"{res['direct_at_best_acwt']['acwt']}: direct search "
+        f"{res['direct_at_best_acwt']['wer']:.2f}% vs swept "
+        f"{res['direct_at_best_acwt']['sweep_wer']:.2f}% (the sweep "
+        "explores only paths the decode-acwt search kept — bounded by "
+        "lattice_beam, same property as the reference's decode-once "
+        "scoring)",
+        f"- blank-skip {res['blank_skip_wer']:.2f}% vs full decode "
+        f"{res['full_wer']:.2f}% WER; {res['blank_skip_diff_utts']} of "
+        f"{c['eval_utts']} utterances differ",
+    ]
+    ca = res.get("const_arpa")
+    if ca:
+        lines += [
+            f"- const-arpa trie at LM scale: {ca['ngrams']:,} ngrams, "
+            f"{ca['bytes']/2**20:.0f} MiB, build {ca['build_s']}s, mmap "
+            f"load {ca['mmap_load_s']}s (G-fst automaton build "
+            f"{ca['gfst_automaton_s']}s); rescore best-path parity "
+            f"{ca['rescore_parity']} at "
+            f"{ca['rescore_s_per_utt_trie']}s/utt "
+            f"(G-fst {ca['rescore_s_per_utt_gfst']}s/utt)",
+        ]
+    lines += [
+        "",
+        "Reproduce: `python examples/stress_recipe.py /tmp/stress_full`",
+        "",
+    ]
+    with open(path, "w") as f:
+        f.write(head + "\n".join(lines))
+    print("wrote RESULTS.md stress section", flush=True)
 
 
 if __name__ == "__main__":
