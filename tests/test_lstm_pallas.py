@@ -152,3 +152,55 @@ def test_fused_multi_block_state_carry():
     m_b = np.asarray(run_fused(params, x, mask, block_t=12))
     np.testing.assert_allclose(m_a, m_b, rtol=1e-5, atol=1e-5)
 
+
+
+# ---------------------------------------------------------------------
+# dispatch: VMEM-aware block sizing + v1 fallback for huge shapes
+# ---------------------------------------------------------------------
+
+def test_fused_block_ts_shrinks_and_bails():
+    from eesen_tpu.ops.lstm_pallas import fused_block_ts
+
+    # flagship stacked layer at B=128: fits with shrunken blocks
+    bts = fused_block_ts(128, 640, 320)
+    assert bts is not None
+    assert 1 <= bts[1] <= bts[0] <= 8
+    # H=640 stacked (LibriSpeech 4x640): resident weights alone exceed
+    # scoped VMEM -> v1 fallback
+    assert fused_block_ts(128, 1280, 640) is None
+    # small shapes keep the full block
+    assert fused_block_ts(32, 128, 320) == (8, 8)
+
+
+def test_v1_direction_matches_xla():
+    """The v1 fallback path (XLA input projection + minimal Pallas
+    recurrence + XLA weight grads) must match the scan numerically,
+    values AND gradients."""
+    from eesen_tpu.ops.lstm_pallas import _v1_direction_tm
+
+    cfg, params, x, mask, xw = setup(b=3, t=8, d=5, h=4)
+    x_tm = jnp.moveaxis(x, 0, 1)
+    mask_tm = jnp.moveaxis(mask, 0, 1)
+
+    def f_v1(p):
+        m = _v1_direction_tm(
+            x_tm, mask_tm, p["w_gifo_x"], p["bias"], p["w_gifo_m"],
+            p["phole_i_c"], p["phole_f_c"], p["phole_o_c"],
+            interpret=True,
+        )
+        return jnp.sum(m * mask_tm[:, :, None] * 0.1)
+
+    def f_xla(p):
+        m = _direction_scan(p, x_tm, mask_tm, cfg, None)
+        return jnp.sum(m * mask_tm[:, :, None] * 0.1)
+
+    v1, g1 = jax.value_and_grad(f_v1)(params)
+    v2, g2 = jax.value_and_grad(f_xla)(params)
+    # v1 runs the input projection in bf16 (the production dtype); the
+    # XLA scan here runs f32 — differences are bf16 rounding only
+    np.testing.assert_allclose(float(v1), float(v2), rtol=5e-3)
+    for k in g2:
+        np.testing.assert_allclose(
+            np.asarray(g1[k]), np.asarray(g2[k]), rtol=3e-2, atol=3e-3,
+            err_msg=k,
+        )
