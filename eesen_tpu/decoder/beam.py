@@ -729,24 +729,33 @@ class StreamingBeamDecoder:
         carry, (st, sc, par, ol, lm) = self._chunk(
             state["carry"], loglikes, active, self.dg
         )
+        # keep per-chunk outputs ON DEVICE: fetching them here costs a
+        # host round-trip per chunk (measured 3-4x total overhead vs
+        # offline on the tunnel platform); finish() concatenates
+        # device-side and transfers once
         state["carry"] = carry
-        state["st"].append(np.asarray(st))
-        state["sc"].append(np.asarray(sc))
-        state["par"].append(np.asarray(par))
-        state["ol"].append(np.asarray(ol))
-        state["lm"].append(np.asarray(lm))
+        state["st"].append(st)
+        state["sc"].append(sc)
+        state["par"].append(par)
+        state["ol"].append(ol)
+        state["lm"].append(lm)
         state["tframes"] += t_c
         return state
 
     def finish(self, state: dict) -> List[Tuple[List[int], float]]:
+        cat = (
+            (lambda xs: np.asarray(jnp.concatenate(xs)))
+            if len(state["st"]) > 1
+            else (lambda xs: np.asarray(xs[0]))
+        )
         out = BeamOutputs(
-            states=np.concatenate(state["st"]),
-            scores=np.concatenate(state["sc"]),
-            parent=np.concatenate(state["par"]),
-            olabels=np.concatenate(state["ol"]),
+            states=cat(state["st"]),
+            scores=cat(state["sc"]),
+            parent=cat(state["par"]),
+            olabels=cat(state["ol"]),
             init_olabels=state["init_olab"],
             overflow=np.asarray(state["carry"][3]),
-            lat_mask=np.concatenate(state["lm"]),
+            lat_mask=cat(state["lm"]),
         )
         # inactive frames were stored as identity passthroughs (frozen
         # state, identity parent, no olabels), so tracing back from the
