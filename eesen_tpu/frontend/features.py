@@ -348,6 +348,34 @@ def compute_deltas(feats: Array, order: int = 2, window: int = 2) -> Array:
     return xp.concatenate(outs, axis=-1)
 
 
+def compute_shifted_deltas(
+    feats: Array, window: int = 1, num_blocks: int = 7, block_shift: int = 3
+) -> Array:
+    """Shifted delta cepstra: [..., T, D] -> [..., T, D*(num_blocks+1)].
+
+    Output frame = [x(t), d(t), d(t+P), d(t+2P), ...] where d is the
+    first-order delta with the given half-window and P = block_shift;
+    out-of-range source frames are clamped to the edges (reference:
+    src/feat/feature-functions.cc:269-314 ShiftedDeltaFeatures /
+    ComputeShiftedDeltas; a language-ID feature, off the CTC recipe path).
+    """
+    xp = _xp(feats)
+    # First-order delta scale window: j / sum(j^2), j in [-window, window].
+    normalizer = float(sum(j * j for j in range(-window, window + 1)))
+    t = feats.shape[-2]
+    outs = [feats]
+    for i in range(num_blocks):
+        acc = xp.zeros_like(feats)
+        for j in range(-window, window + 1):
+            scale = j / normalizer
+            if scale == 0.0:
+                continue
+            src = np.clip(np.arange(t) + j + i * block_shift, 0, t - 1)
+            acc = acc + scale * feats[..., src, :]
+        outs.append(acc)
+    return xp.concatenate(outs, axis=-1)
+
+
 def splice_frames(feats: Array, left: int, right: int) -> Array:
     """[..., T, D] -> [..., T, D*(left+1+right)], edges replicated
     (reference: feature-functions.cc SpliceFrames)."""

@@ -169,3 +169,60 @@ def test_host_numpy_path_matches_device_path():
         d = apply_cmvn(jnp.asarray(x), st_d, norm_vars=nv)
         assert isinstance(h, np.ndarray)
         np.testing.assert_allclose(h, np.asarray(d), rtol=1e-4, atol=1e-5)
+
+
+class TestShiftedDeltas:
+    """SDC (reference: feature-functions.cc:269-341, feature-sdc-test.cc)."""
+
+    def _oracle(self, x, window, num_blocks, block_shift):
+        """Frame-by-frame transcription of ShiftedDeltaFeatures::Process."""
+        t, d = x.shape
+        norm = sum(j * j for j in range(-window, window + 1))
+        out = np.zeros((t, d * (num_blocks + 1)), np.float32)
+        out[:, :d] = x
+        for f in range(t):
+            for i in range(num_blocks):
+                blk = np.zeros(d, np.float32)
+                for j in range(-window, window + 1):
+                    src = min(max(f + j + i * block_shift, 0), t - 1)
+                    blk += (j / norm) * x[src]
+                out[f, (i + 1) * d:(i + 2) * d] = blk
+        return out
+
+    def test_matches_oracle_default_config(self):
+        from eesen_tpu.frontend.features import compute_shifted_deltas
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((25, 7)).astype(np.float32)
+        got = compute_shifted_deltas(x)  # window=1, num_blocks=7, shift=3
+        assert got.shape == (25, 7 * 8)
+        np.testing.assert_allclose(got, self._oracle(x, 1, 7, 3), rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_matches_oracle_nondefault(self):
+        from eesen_tpu.frontend.features import compute_shifted_deltas
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((12, 3)).astype(np.float32)
+        got = compute_shifted_deltas(x, window=2, num_blocks=4, block_shift=2)
+        np.testing.assert_allclose(got, self._oracle(x, 2, 4, 2), rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_block0_is_first_order_delta(self):
+        """Block 0 (shift 0) must equal the plain first-order delta with the
+        same half-window (DeltaFeatures with order=1)."""
+        from eesen_tpu.frontend.features import compute_shifted_deltas
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((30, 5)).astype(np.float32)
+        sdc = compute_shifted_deltas(x, window=2, num_blocks=1)
+        plain = compute_deltas(x, order=1, window=2)
+        np.testing.assert_allclose(sdc[:, 5:10], plain[:, 5:10], rtol=1e-5,
+                                   atol=1e-6)
+
+    def test_device_path_matches_host(self):
+        from eesen_tpu.frontend.features import compute_shifted_deltas
+        rng = np.random.default_rng(6)
+        x = rng.standard_normal((16, 4)).astype(np.float32)
+        host = compute_shifted_deltas(x)
+        dev = compute_shifted_deltas(jnp.asarray(x))
+        assert isinstance(host, np.ndarray)
+        np.testing.assert_allclose(host, np.asarray(dev), rtol=1e-5,
+                                   atol=1e-6)
