@@ -85,6 +85,15 @@ class BeamSearchConfig:
     # still runs after the closure phase): a max_active-style
     # approximation that removes one sort-heavy dedup per frame
     light_emit_dedup: bool = False
+    # top-k-only pruning after the (single-expansion) CLOSURE phase:
+    # duplicate destination states survive into the next frame's active
+    # set, wasting slots but staying exact while max_active has
+    # headroom.  On LM-scale graphs whose closure degree exceeds the
+    # Pallas kernel cap this replaces the widest XLA sort of the frame.
+    light_closure_dedup: bool = False
+    # force the take_along_axis acoustic lookup instead of the one-hot
+    # contraction (perf probe; the one-hot path wins at small V)
+    acoustic_gather: bool = False
     # fused Pallas recombination kernel (ops/beam_pallas.py): beam
     # threshold + dedup + top-k as in-register bitonic networks in ONE
     # kernel instead of ~8 XLA ops.  "auto" uses it on TPU whenever the
@@ -108,6 +117,26 @@ class BeamSearchConfig:
     # kept-frame counts are rounded up to this bucket so repeated decode
     # calls reuse a few compiled search programs
     blank_skip_bucket: int = 64
+    # keep the active set sorted by state id (one cheap [B,K] sort per
+    # recombination): the next frame's arc-row gathers then walk the HBM
+    # arc table in ascending order, which improves DMA locality on
+    # multi-million-state graphs where the table spans hundreds of MB
+    sort_active: bool = False
+    # compact (CSR) arc expansion budgets.  The rectangular expansion
+    # pads every active slot to the graph's MAX out-degree, but real TLG
+    # degree distributions are heavily skewed (the LM-scale trigram
+    # graph: mean emit degree 1.1 vs cap 16 -> 93% of the [K*D] proposal
+    # lanes are padding, and every downstream op — acoustic lookup,
+    # recombination sort, payload take_alongs — pays for them).  With a
+    # budget M > 0, the expansion instead lays the active set's arcs out
+    # contiguously in M shared lanes (exclusive-cumsum of degrees +
+    # searchsorted for lane->slot ownership).  EXACT while the active
+    # set's total degree fits the budget; overflowing arcs are dropped
+    # and counted in BeamOutputs.overflow (same contract as max_olabels
+    # — recipes re-decode with a bigger budget if it ever trips).
+    # 0 = rectangular expansion.
+    arc_budget_emit: int = 0
+    arc_budget_x: int = 0
 
 
 # Dense state-indexed arc rows replace the (base+j)-indexed arc-packed
@@ -256,14 +285,66 @@ def _expand(
     )
 
 
-def _acoustic_lookup(ll_t: Array, col: Array, scale: float) -> Array:
+def _expand_compact(
+    offs: Array, scores: Array, packed: Array, which: int, m_budget: int,
+) -> Tuple[Array, Array, Array, Array, Array, Array, Array]:
+    """CSR expansion: the active set's arcs laid out contiguously in
+    `m_budget` shared lanes instead of one max-degree-padded row block
+    per slot.
+
+    offs [B,K,4] + scores [B,K] -> (dst, score w/o acoustic, ilabel,
+    olabel, dst_offs [B,M,4], src_slot [B,M], arc_overflow [B]).
+    Lane->slot ownership: slot k owns lanes [cum[k], cum[k]+deg[k]) where
+    cum is the exclusive cumsum of (live) degrees; the owner of lane j is
+    the LAST slot with cum <= j (zero-degree slots have empty ranges, so
+    the tie rule is exact).  Arcs beyond the budget are dropped and
+    counted."""
+    b, k, _ = offs.shape
+    base = offs[..., 2 * which]
+    deg = jnp.where(
+        jnp.isfinite(scores), offs[..., 2 * which + 1], 0
+    )
+    cum = jnp.cumsum(deg, axis=1) - deg                  # exclusive
+    total = cum[:, -1] + deg[:, -1]                      # [B]
+    lane = jnp.broadcast_to(
+        jnp.arange(m_budget, dtype=jnp.int32)[None, :], (b, m_budget)
+    )
+    n_arcs = packed.shape[0]
+    if n_arcs == 0:
+        score = jnp.full((b, m_budget), jnp.inf, jnp.float32)
+        z = jnp.zeros((b, m_budget), jnp.int32)
+        return (z, score, z, z, jnp.zeros((b, m_budget, 4), jnp.int32),
+                z, jnp.zeros((b,), jnp.int32))
+    s = jax.vmap(
+        lambda c, l: jnp.searchsorted(c, l, side="right")
+    )(cum, lane).astype(jnp.int32) - 1
+    s = jnp.clip(s, 0, k - 1)
+    base_s = jnp.take_along_axis(base, s, axis=1)
+    cum_s = jnp.take_along_axis(cum, s, axis=1)
+    scr_s = jnp.take_along_axis(scores, s, axis=1)
+    aid = base_s + (lane - cum_s)
+    valid = lane < jnp.minimum(total, m_budget)[:, None]
+    rows = packed[jnp.clip(aid, 0, n_arcs - 1)]          # [B, M, 8]
+    il = jnp.where(valid, rows[..., 0], 0)
+    ol = jnp.where(valid, rows[..., 1], 0)
+    w = jax.lax.bitcast_convert_type(rows[..., 2], jnp.float32)
+    dst = jnp.where(valid, rows[..., 3], 0)
+    score = jnp.where(valid, scr_s + w, INF)
+    d_offs = jnp.where(valid[..., None], rows[..., 4:8], 0)
+    arc_overflow = jnp.maximum(total - m_budget, 0)
+    return dst, score, il, ol, d_offs, s, arc_overflow
+
+
+def _acoustic_lookup(
+    ll_t: Array, col: Array, scale: float, force_gather: bool = False,
+) -> Array:
     """-scale * ll_t[b, col[b, m]] without a gather.
 
     XLA gathers on TPU are latency-bound per element (~ns each); for the
     small acoustic vocabularies of CTC graphs (V <= 128 tokens) a one-hot
     contraction is pure vector math and far cheaper at [B, 34k] widths."""
     b, v = ll_t.shape
-    if v > 128:
+    if v > 128 or force_gather:
         return -scale * jnp.take_along_axis(ll_t, col, axis=1)
     onehot = (
         col[..., None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, v), 2)
@@ -320,6 +401,22 @@ def _dedup_and_prune(
     return new_states, new_scores, kept
 
 
+def _sort_by_state(
+    states: Array, scores: Array, kept: Array
+) -> Tuple[Array, Array, Array]:
+    """Reorder active slots ascending by state id (dead slots last).
+
+    Slot order is free — parents/olabels are permuted via `kept` by the
+    caller and traceback scans all slots — so sorting costs only one
+    small [B,K] sort while making the next frame's arc-table gathers
+    walk HBM in ascending address order."""
+    key = jnp.where(states < 0, jnp.int32(0x7FFFFFFF), states)
+    _, states, scores, kept = jax.lax.sort(
+        (key, states, scores, kept), num_keys=1, dimension=1
+    )
+    return states, scores, kept
+
+
 def _topk_prune(dst: Array, score: Array, k: int) -> Tuple[Array, Array, Array]:
     """Pruning without recombination (duplicates allowed)."""
     tn, ti = jax.lax.top_k(-score, k)
@@ -346,6 +443,53 @@ def _append_olabel(olab: Array, new: Array, overflow: Array):
     )
     overflow = overflow + jnp.sum((do & ~can), axis=-1, dtype=jnp.int32)
     return appended, overflow
+
+
+def compose_chunk_paths(
+    parent: Array,    # [Tc, B, K] per-frame parent slots
+    olabels: Array,   # [Tc, B, K, L] per-frame output labels (0 = none)
+    cap: int,
+) -> Tuple[Array, Array, Array, Array]:
+    """Collapse a chunk's per-frame backpointers into ONE summary:
+    (entry [B,K], words [B,K,cap], wcount [B,K], wovf [B,K]).
+
+    entry[b,k] = the slot at chunk START that slot k at chunk END
+    descends from; words[b,k] = the olabels emitted along that path, in
+    order (truncated at `cap`, overflow counted per slot — only the
+    winning slot's flag matters to a traceback).  Composing summaries
+    chunk-by-chunk makes streaming traceback O(chunks) instead of
+    O(frames), which is what keeps finish()/partial() at ms scale."""
+    tc, b, k = parent.shape
+    entry0 = jnp.repeat(jnp.arange(k, dtype=jnp.int32)[None], b, 0)
+    words0 = jnp.zeros((b, k, cap), jnp.int32)
+    cnt0 = jnp.zeros((b, k), jnp.int32)
+    ovf0 = jnp.zeros((b, k), jnp.int32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, k, cap), 2)
+
+    def step(carry, inp):
+        entry, words, cnt, ovf = carry
+        p_t, o_t = inp
+        entry = jnp.take_along_axis(entry, p_t, axis=1)
+        words = jnp.take_along_axis(words, p_t[..., None], axis=1)
+        cnt = jnp.take_along_axis(cnt, p_t, axis=1)
+        ovf = jnp.take_along_axis(ovf, p_t, axis=1)
+        for li in range(o_t.shape[-1]):
+            new = o_t[..., li]
+            do = new != 0
+            can = cnt < cap
+            idx = jnp.clip(cnt, 0, cap - 1)
+            words = jnp.where(
+                (pos == idx[..., None]) & (do & can)[..., None],
+                new[..., None], words,
+            )
+            ovf = ovf + (do & ~can)
+            cnt = cnt + (do & can)
+        return (entry, words, cnt, ovf), None
+
+    (entry, words, cnt, ovf), _ = jax.lax.scan(
+        step, (entry0, words0, cnt0, ovf0), (parent, olabels)
+    )
+    return entry, words, cnt, ovf
 
 
 def make_beam_decoder(
@@ -379,6 +523,14 @@ def make_beam_decoder(
     light = cfg.light_eps_dedup
     light_emit = cfg.light_emit_dedup
     funnel = cfg.funnel_mult * k if cfg.funnel_mult > 0 else 0
+    # budgets below K would make the top-k/recombination stage invalid
+    # (fewer proposal lanes than active slots); clamp up
+    m_e = 0 if dense else (
+        max(cfg.arc_budget_emit, k) if cfg.arc_budget_emit > 0 else 0
+    )
+    m_x = 0 if dense else (
+        max(cfg.arc_budget_x, k) if cfg.arc_budget_x > 0 else 0
+    )
     L = max(cfg.max_olabels, 1)
     lat_beam = cfg.lattice_beam
     pmode = cfg.pallas_dedup
@@ -403,30 +555,42 @@ def make_beam_decoder(
             pmode == "auto" and jax.default_backend() == "tpu"
         )
         if pmode == "always" or (enabled and fits):
-            return beam_pallas.dedup_prune(dst, score, k, beam,
-                                           interpret=interp)
-        return _dedup_and_prune(
-            dst, score, k, beam, approx, 0 if enabled else funnel
-        )
+            out = beam_pallas.dedup_prune(dst, score, k, beam,
+                                          interpret=interp)
+        else:
+            out = _dedup_and_prune(
+                dst, score, k, beam, approx, 0 if enabled else funnel
+            )
+        return _sort_by_state(*out) if cfg.sort_active else out
 
     def _x_step(carry_in, do_full_dedup):
         """One eps/closure expansion merged with the carried set."""
         states, scores, offs, parent, olab, overflow = carry_in
+        b = states.shape[0]
         if dense:
             dst, pscore, _, exp_ol, d_offs = _expand_dense(
                 states, scores, dg_holder[0].x_rows
             )
+            src_of_prop = None
+        elif m_x > 0:
+            dst, pscore, _, exp_ol, d_offs, src_of_prop, arc_of = (
+                _expand_compact(
+                    offs, scores, dg_holder[0].x_packed, 1, m_x
+                )
+            )
+            overflow = overflow + arc_of
         else:
             dst, pscore, _, exp_ol, d_offs = _expand(
                 offs, scores, dg_holder[0].x_packed, d_x, which=1
             )
+            src_of_prop = None
         exp_ol = jnp.where(jnp.isfinite(pscore), exp_ol, 0)
-        b = states.shape[0]
-        d_x_eff = pscore.shape[1] // k
-        src_slot = jnp.repeat(
-            jnp.arange(k, dtype=jnp.int32)[None, :], b, 0
-        )
-        src_of_prop = jnp.repeat(src_slot, d_x_eff, axis=1)
+        if src_of_prop is None:
+            d_x_eff = pscore.shape[1] // k
+            src_slot = jnp.repeat(
+                jnp.arange(k, dtype=jnp.int32)[None, :], b, 0
+            )
+            src_of_prop = jnp.repeat(src_slot, d_x_eff, axis=1)
         exp_parent = jnp.take_along_axis(parent, src_of_prop, axis=1)
         exp_olab = jnp.take_along_axis(
             olab, src_of_prop[..., None], axis=1
@@ -461,7 +625,8 @@ def make_beam_decoder(
     def eps_phase(states, scores, offs, parent, olab, overflow):
         if use_closure:
             return _x_step(
-                (states, scores, offs, parent, olab, overflow), True
+                (states, scores, offs, parent, olab, overflow),
+                not cfg.light_closure_dedup,
             )
 
         def one_iter(carry, is_last):
@@ -505,22 +670,29 @@ def make_beam_decoder(
             states, scores, offs, overflow = carry
             ll_t, act = inp        # [B, V], [B] bool
             b = states.shape[0]
+            parent_e = None
             if dense:
                 dst, pscore, il, ol, d_offs = _expand_dense(
                     states, scores, dg.emit_rows
                 )
+            elif m_e > 0:
+                dst, pscore, il, ol, d_offs, parent_e, arc_of = (
+                    _expand_compact(offs, scores, dg.emit_packed, 0, m_e)
+                )
+                overflow = overflow + arc_of
             else:
                 dst, pscore, il, ol, d_offs = _expand(
                     offs, scores, dg.emit_packed, d_e, which=0
                 )
             col = jnp.clip(il - 1, 0, v - 1)            # tid-1 shift
-            ac = _acoustic_lookup(ll_t, col, scale)
+            ac = _acoustic_lookup(ll_t, col, scale, cfg.acoustic_gather)
             pscore = jnp.where(jnp.isfinite(pscore), pscore + ac, INF)
-            slot_idx = jnp.repeat(
-                jnp.arange(k, dtype=jnp.int32)[None, :], b, 0
-            )
-            d_e_eff = pscore.shape[1] // k
-            parent_e = jnp.repeat(slot_idx, d_e_eff, axis=1)  # [B, K*D]
+            if parent_e is None:
+                slot_idx = jnp.repeat(
+                    jnp.arange(k, dtype=jnp.int32)[None, :], b, 0
+                )
+                d_e_eff = pscore.shape[1] // k
+                parent_e = jnp.repeat(slot_idx, d_e_eff, axis=1)
 
             if has_hubs:
                 # dense expansion of hub-state arcs: contiguous vector
@@ -668,14 +840,21 @@ class StreamingBeamDecoder:
     the batched TPU search streamable: the active set (states, scores,
     arc offsets, overflow) is an explicit carry, so audio can be decoded
     chunk-by-chunk with one fixed-shape compiled program and O(chunk)
-    latency.  Per-chunk outputs accumulate host-side; finish() runs the
-    same traceback as offline decoding (results are IDENTICAL to a
-    one-shot decode of the concatenated audio).
+    latency.  Each chunk's per-frame backpointers are composed ON DEVICE
+    into one [B, K] summary (entry slot + emitted words per surviving
+    slot, compose_chunk_paths), so traceback walks chunks, not frames:
+    finish() is O(chunks) host work (the round-3 frame-walk finish cost
+    ~3 s at T=512; summaries make it ms) and partial() emits the current
+    best hypothesis after any chunk at the cost of ONE device fetch.
+    Results are IDENTICAL to a one-shot decode of the concatenated
+    audio (word truncation beyond summary_words per slot per chunk is
+    counted and raises).
 
         dec = StreamingBeamDecoder(graph, cfg)
         st = dec.start(batch_size)
         for chunk in chunks:             # [B, Tc, V] log-likes
             st = dec.accept(st, chunk)   # optional active mask [B, Tc]
+            hyps = dec.partial(st)       # optional: current best words
         results = dec.finish(st)         # [(words, cost)] * B
 
     With cfg.blank_skip > 0, each chunk is blank-run merged before the
@@ -685,20 +864,32 @@ class StreamingBeamDecoder:
     """
 
     def __init__(
-        self, graph: CompiledGraph, cfg: BeamSearchConfig = BeamSearchConfig()
+        self, graph: CompiledGraph,
+        cfg: BeamSearchConfig = BeamSearchConfig(),
+        summary_words: int = 16,
     ):
         init_fn, chunk_fn = make_beam_decoder(graph, cfg, _internals=True)
         self._init = init_fn
-        self._chunk = jax.jit(chunk_fn)
+        cap = summary_words
+
+        def chunk_sum(carry, loglikes, active, dg):
+            carry, (st, sc, par, ol, lm) = chunk_fn(
+                carry, loglikes, active, dg
+            )
+            entry, words, cnt, ovf = compose_chunk_paths(par, ol, cap)
+            return carry, (entry, words, cnt, ovf)
+
+        self._chunk = jax.jit(chunk_sum)
         self.graph = graph
         self.cfg = cfg
+        self.summary_words = cap
         self.dg = DeviceGraph.put(graph)
 
     def start(self, batch_size: int) -> dict:
         carry, init_olab = self._init(batch_size, self.dg)
         return {
             "carry": carry, "init_olab": np.asarray(init_olab),
-            "st": [], "sc": [], "par": [], "ol": [], "lm": [],
+            "chunks": [],            # host (entry, words, cnt, ovf)
             "batch": batch_size, "tframes": 0,
         }
 
@@ -726,42 +917,69 @@ class StreamingBeamDecoder:
                 jnp.arange(t_c, dtype=jnp.int32)[None, :]
                 < cf.lengths[:, None]
             )
-        carry, (st, sc, par, ol, lm) = self._chunk(
+        carry, summary = self._chunk(
             state["carry"], loglikes, active, self.dg
         )
-        # keep per-chunk outputs ON DEVICE: fetching them here costs a
-        # host round-trip per chunk (measured 3-4x total overhead vs
-        # offline on the tunnel platform); finish() concatenates
-        # device-side and transfers once
+        # ONE batched transfer per chunk (jax.device_get of the tuple):
+        # the [B, K] summary is ~100x smaller than the [Tc, B, K, 3+L]
+        # frame outputs the pre-summary design accumulated
         state["carry"] = carry
-        state["st"].append(st)
-        state["sc"].append(sc)
-        state["par"].append(par)
-        state["ol"].append(ol)
-        state["lm"].append(lm)
+        state["chunks"].append(jax.device_get(summary))
         state["tframes"] += t_c
         return state
 
+    def partial(self, state: dict) -> List[List[int]]:
+        """Current best-path word hypotheses (ignores final weights —
+        the utterances are still in progress)."""
+        scores = np.asarray(state["carry"][1])
+        j = np.argmin(np.where(np.isfinite(scores), scores, np.inf), axis=1)
+        return self._walk(state, j.astype(np.int64))
+
+    def _walk(self, state: dict, j: np.ndarray) -> List[List[int]]:
+        b = state["batch"]
+        slots = j.copy()
+        rev: List[List[int]] = [[] for _ in range(b)]
+        for entry, words, cnt, ovf in reversed(state["chunks"]):
+            for i in range(b):
+                s = int(slots[i])
+                if int(ovf[i, s]) > 0:
+                    raise OverflowError(
+                        "chunk path emitted more than summary_words="
+                        f"{self.summary_words} labels; re-run with a "
+                        "larger summary_words"
+                    )
+                n = int(cnt[i, s])
+                rev[i].extend(int(w) for w in words[i, s, :n][::-1])
+                slots[i] = int(entry[i, s])
+        out = []
+        for i in range(b):
+            lead = [int(w) for w in state["init_olab"][i, int(slots[i])]
+                    if w != 0]
+            out.append(lead + rev[i][::-1])
+        return out
+
     def finish(self, state: dict) -> List[Tuple[List[int], float]]:
-        cat = (
-            (lambda xs: np.asarray(jnp.concatenate(xs)))
-            if len(state["st"]) > 1
-            else (lambda xs: np.asarray(xs[0]))
+        states, scores = (
+            np.asarray(state["carry"][0]), np.asarray(state["carry"][1])
         )
-        out = BeamOutputs(
-            states=cat(state["st"]),
-            scores=cat(state["sc"]),
-            parent=cat(state["par"]),
-            olabels=cat(state["ol"]),
-            init_olabels=state["init_olab"],
-            overflow=np.asarray(state["carry"][3]),
-            lat_mask=cat(state["lm"]),
+        b = state["batch"]
+        fw = self.graph.final_weight
+        valid = states >= 0
+        total = np.where(
+            valid, scores + fw[np.maximum(states, 0)], np.inf
         )
-        # inactive frames were stored as identity passthroughs (frozen
-        # state, identity parent, no olabels), so tracing back from the
-        # very last stored frame is exact for every row
-        lengths = np.full(state["batch"], state["tframes"], np.int64)
-        return traceback(out, lengths, self.graph.final_weight)
+        js = np.empty(b, np.int64)
+        costs = np.empty(b, np.float64)
+        for i in range(b):
+            if np.isfinite(total[i]).any():
+                js[i] = int(np.argmin(total[i]))
+                costs[i] = float(total[i, js[i]])
+            else:  # no final state: best partial path
+                sc = np.where(valid[i], scores[i], np.inf)
+                js[i] = int(np.argmin(sc))
+                costs[i] = float(sc[js[i]])
+        words = self._walk(state, js)
+        return [(w, c) for w, c in zip(words, costs)]
 
 
 def make_sharded_beam_decoder(

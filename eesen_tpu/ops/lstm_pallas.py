@@ -197,6 +197,9 @@ def _fwd_call(xw, mask, w_m, ph, interpret):
             pltpu.VMEM((b, hp), jnp.float32),
             pltpu.VMEM((b, hp), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(xw, mask, w_m, ph)
     return out
@@ -228,6 +231,9 @@ def _bwd_call(mask, gates, craw, cprev_seq, gm, w_m, ph, interpret):
             pltpu.VMEM((b, hp), jnp.float32),
             pltpu.VMEM((b, hp), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(mask, gates, craw, cprev_seq, gm, w_m, ph)
     return dxw
@@ -514,6 +520,9 @@ def _fused_fwd_call(x, mask, wx_bf, bias, wm_bf, ph, block_t, interpret):
             pltpu.VMEM((b, hp), jnp.float32),
             pltpu.VMEM((b, hp), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(x, mask, wx_bf, bias, wm_bf, ph)
     return out
@@ -574,6 +583,9 @@ def _fused_bwd_call(
             pltpu.VMEM((b, hp), jnp.float32),
             pltpu.VMEM((bt * b, fourhp), jnp.bfloat16),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+        ),
         interpret=interpret,
     )(x, mask, gates, ccarry, mcarry, ccarry, mcarry, gm, wx_bf, wm_bf, ph)
     return out
@@ -608,9 +620,20 @@ def _lstm_fused_fwd(x, mask, w_x, bias, w_m, ph, block_t, interpret):
     return m, (x, mask, gates, c, m, wx_bf, wm_bf, ph)
 
 
-# VMEM budget for kernel sizing: the scoped-vmem limit is ~16MB; leave
-# headroom for Mosaic's own temporaries.
-_VMEM_BUDGET = 14 * 2**20
+# VMEM budget for kernel sizing.  The DEFAULT scoped-vmem limit is
+# 16MB, but the physical VMEM on the target parts is far larger (v5e:
+# 128 MiB/core) and Mosaic accepts an explicit vmem_limit_bytes — the
+# beam recombination kernel (ops/beam_pallas.py) has run at a 100 MiB
+# limit on this platform since round 2.  Every lstm pallas_call now
+# passes _VMEM_LIMIT, and the sizing estimators budget against
+# _VMEM_BUDGET (headroom below the limit for Mosaic temporaries).
+# This is what lets the LibriSpeech 4x640 config (stacked 2H inputs:
+# the four resident weight/weight-grad buffers alone are ~30 MiB) train
+# through the fully fused path instead of the v1 fallback (round-3
+# limitation), and lets H=320 B=128 run bigger time blocks whose
+# block-level dx/dwx matmuls have 8x taller MXU operands.
+_VMEM_LIMIT = 100 * 2**20
+_VMEM_BUDGET = 88 * 2**20
 
 
 def _fwd_vmem_bytes(bt: int, b: int, dp: int, hp: int) -> int:

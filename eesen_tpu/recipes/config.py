@@ -41,7 +41,13 @@ class RecipeConfig:
     # 0 disables the guard.  The merge is exact only when each blank run
     # carries <= 1 label transition (frame_skip.py), so the guard makes
     # the default defensible on content where that premise fails.
-    blank_skip_guard: int = 4
+    # Default 16: at the ~3% per-utterance mismatch rate measured on the
+    # round-3 stress eval (9/300 utts differed), a 4-utt sample passed
+    # ~89% of the time — statistically blind to the decision it gates;
+    # 16 samples catch a 3% rate with ~39% power per pass and every
+    # mismatch downgrades the whole pass to the full search, so repeated
+    # passes converge on the safe path.
+    blank_skip_guard: int = 16
 
 
 _FBANK40 = FbankOptions(

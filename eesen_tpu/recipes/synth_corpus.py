@@ -37,11 +37,43 @@ class SynthConfig:
     crossfade_ms: int = 20
     snr_db: float = 20.0
     seed: int = 0
+    # --- difficulty levers (stress-v2: drive the ACOUSTIC MODEL below
+    # ~95% token accuracy, not just the decoder) ---
+    # >0: phones are drawn from this many base formant templates with
+    # small perturbations, so ~num_phones/confusable_groups phones share
+    # nearly identical spectra (vowel-space crowding)
+    confusable_groups: int = 0
+    # per-utterance random channel: spectral tilt + band-limiting
+    # (telephone-ish), applied after synthesis
+    channel_sim: bool = False
+    # speaker speaking-rate range (1.0 = nominal)
+    rate_range: Tuple[float, float] = (0.85, 1.2)
 
 
 def make_phones(cfg: SynthConfig, rng: np.random.Generator):
     """Per-phone spectral recipes: (voiced, formants[3], bandwidth-ish
-    weights). A quarter of the phones are unvoiced 'fricatives'."""
+    weights). A quarter of the phones are unvoiced 'fricatives'.
+
+    With cfg.confusable_groups > 0, phones share base templates: group
+    members differ only by a small formant jitter (±3%) and weight
+    jitter, so the acoustic model faces genuinely overlapping classes
+    (the stress-v2 knob that pushes token accuracy down)."""
+    if cfg.confusable_groups > 0:
+        bases = []
+        for _ in range(cfg.confusable_groups):
+            f1 = rng.uniform(250, 850)
+            f2 = rng.uniform(max(900, f1 + 300), 2400)
+            f3 = rng.uniform(max(2500, f2 + 400), 3400)
+            bases.append((np.array([f1, f2, f3]),
+                          rng.uniform(0.4, 1.0, size=3)))
+        phones = []
+        for i in range(cfg.num_phones):
+            bf, bw = bases[i % cfg.confusable_groups]
+            voiced = i % 4 != 3
+            f = bf * rng.uniform(0.97, 1.03, size=3)
+            w = np.clip(bw * rng.uniform(0.85, 1.15, size=3), 0.2, 1.2)
+            phones.append((voiced, f, w))
+        return phones
     phones = []
     for i in range(cfg.num_phones):
         voiced = i % 4 != 3
@@ -69,12 +101,31 @@ def make_lexicon(
     return lex
 
 
-def _speaker(rng: np.random.Generator):
+def _speaker(rng: np.random.Generator, cfg: SynthConfig = None):
+    lo, hi = cfg.rate_range if cfg is not None else (0.85, 1.2)
     return {
         "formant_scale": float(rng.uniform(0.88, 1.15)),
         "f0": float(rng.uniform(110, 260)),
-        "rate": float(rng.uniform(0.85, 1.2)),
+        "rate": float(rng.uniform(lo, hi)),
     }
+
+
+def _apply_channel(wave: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Per-utterance channel simulation: random spectral tilt (±6 dB/kHz)
+    plus a random band-limit (low cut 100-350 Hz, high cut 2.8-7 kHz) —
+    the telephone/far-field mismatch a real corpus carries."""
+    n = len(wave)
+    spec = np.fft.rfft(wave)
+    freqs = np.fft.rfftfreq(n, 1.0 / SR)
+    tilt_db_per_khz = rng.uniform(-6.0, 6.0)
+    gain = 10.0 ** (tilt_db_per_khz * (freqs / 1000.0) / 20.0)
+    lo = rng.uniform(100.0, 350.0)
+    hi = rng.uniform(2800.0, 7000.0)
+    gain *= 1.0 / (1.0 + (lo / np.maximum(freqs, 1.0)) ** 4)
+    gain *= 1.0 / (1.0 + (freqs / hi) ** 6)
+    out = np.fft.irfft(spec * gain, n)
+    peak = np.abs(out).max() + 1e-9
+    return (out / peak * np.abs(wave).max()).astype(wave.dtype)
 
 
 def synth_phone(
@@ -168,7 +219,7 @@ def generate_corpus(
     ranks = np.arange(1, len(word_list) + 1, dtype=np.float64)
     probs = ranks ** -zipf_a
     probs /= probs.sum()
-    speakers = [_speaker(rng) for _ in range(cfg.num_speakers)]
+    speakers = [_speaker(rng, cfg) for _ in range(cfg.num_speakers)]
     waves, texts, utt2spk = {}, {}, {}
     for i in range(num_utts):
         spk = int(rng.integers(0, cfg.num_speakers))
@@ -176,9 +227,12 @@ def generate_corpus(
         ws = [word_list[int(j)] for j in
               rng.choice(len(word_list), size=n, p=probs)]
         utt = f"spk{spk:02d}_utt{i:05d}"
-        waves[utt] = synth_utterance(
+        wav = synth_utterance(
             ws, lex, phones_tbl, unit_index, speakers[spk], cfg, rng
         )
+        if cfg.channel_sim:
+            wav = _apply_channel(wav, rng)
+        waves[utt] = wav
         texts[utt] = ws
         utt2spk[utt] = f"spk{spk:02d}"
     return waves, texts, utt2spk
@@ -208,14 +262,17 @@ def generate_corpus_from_texts(
         spk = utt2spk[utt]
         if spk not in spk_params:
             srng = np.random.default_rng(abs(hash(spk)) % (2**32))
-            spk_params[spk] = _speaker(srng)
+            spk_params[spk] = _speaker(srng, cfg)
         c = cfg
         if snr_range is not None:
             c = dataclasses.replace(
                 cfg, snr_db=float(rng.uniform(*snr_range))
             )
-        waves[utt] = synth_utterance(
+        wav = synth_utterance(
             texts[utt], lex, phones_tbl, unit_index, spk_params[spk],
             c, rng,
         )
+        if cfg.channel_sim:
+            wav = _apply_channel(wav, rng)
+        waves[utt] = wav
     return waves

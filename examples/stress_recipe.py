@@ -148,6 +148,104 @@ def synth_parallel(scfg, texts, utt2spk, lexicon, phones_tbl, snr_range,
     return waves
 
 
+def run_augment_ab(
+    args, cfg, run_ctl, all_waves, tr_texts, tr_spk, cv_texts,
+    ev_texts, ev_spk, labels, cv_f, ev_f, hist_ctl,
+):
+    """End-to-end augmentation A/B (round-3 verdict item: the 9-view
+    flow had only ever been unit-tested, never trained through).
+
+    run_ctl already holds the CONTROL model (stage C: canonical features
+    only) and the LM-scale graph.  This trains a second model through
+    the reference's 9-view VTLN x frame-rate rotation
+    (run_nml_seq_fw_seq_tw.sh:92-150, train_ctc_parallel_mult.sh:205 via
+    recipes/augment.py) and decodes BOTH models on (a) the matched
+    canonical eval view and (b) a warp/rate-MISMATCHED eval view
+    (frame shift 12 ms, VTLN warp 1.12 — outside both training sets but
+    inside the augmentation span), recording the 2x2 WER table.
+    Recommended scale: --utts 3000-6000 (9-view features are 9x the
+    feature cost)."""
+    from eesen_tpu.recipes.augment import LIBRISPEECH_ROTATION, AugmentTag
+
+    class MemData:
+        def __init__(self, waves, texts, utt2spk):
+            self.wav_scp = waves
+            self.text = texts
+            self.utt2spk = utt2spk
+
+    tr_waves = {k: all_waves[k].astype(np.float32) for k in tr_texts}
+    d_tr = MemData(tr_waves, tr_texts, tr_spk)
+
+    # 9-view features of the train set (canonical-view CMVN)
+    t0 = time.time()
+    aug_cache = os.path.join(args.workdir, "augfeats.npz")
+    if os.path.exists(aug_cache):
+        z = np.load(aug_cache, allow_pickle=True)
+        tagged = {t: dict(z[t].item()) for t in z.files}
+        print(f"aug features loaded from cache ({time.time()-t0:.0f}s)",
+              flush=True)
+    else:
+        tagged = run_ctl.compute_augmented_features(d_tr)
+        np.savez(aug_cache, **{t: np.array(fe, dtype=object)
+                               for t, fe in tagged.items()})
+        print(f"aug features (9 views x {len(tr_texts)} utts) in "
+              f"{time.time()-t0:.0f}s", flush=True)
+
+    # augmented model: fresh run dir, same lang/graph
+    run_aug = RecipeRun(
+        cfg, os.path.join(args.workdir, "exp_aug"),
+        run_ctl.lexicon, run_ctl.units,
+    )
+    run_aug.lang = run_ctl.lang
+    run_aug.graph = run_ctl.graph
+    canon = tagged.get("10_1") or next(iter(tagged.values()))
+    t0 = time.time()
+    hist_aug = run_aug.train(
+        canon, {k: labels[k] for k in tr_texts},
+        cv_f, {k: labels[k] for k in cv_texts},
+        epochs_batches_repeat=1,
+        tagged_feats=tagged,
+        tag_order=[t for t in LIBRISPEECH_ROTATION if t in tagged],
+    )
+    print(f"augmented train in {time.time()-t0:.0f}s", flush=True)
+    for e in sorted(hist_aug):
+        print(f"  epoch {e}: tag train {hist_aug[e]['train_acc']:.2f}% "
+              f"cv {hist_aug[e]['cv_acc']:.2f}%", flush=True)
+
+    # mismatched eval view: 12 ms shift + warp 1.12
+    ev_waves = {k: all_waves[k].astype(np.float32) for k in ev_texts}
+    d_ev = MemData(ev_waves, ev_texts, ev_spk)
+    t0 = time.time()
+    mis_tags = run_ctl.compute_augmented_features(
+        d_ev, tags=[AugmentTag(12.0, 1.12)],
+    )
+    ev_mis = next(iter(mis_tags.values()))
+    print(f"mismatched eval features in {time.time()-t0:.0f}s", flush=True)
+
+    refs = {k: ev_texts[k] for k in ev_f}
+    table = {}
+    for mname, r in (("control", run_ctl), ("augmented", run_aug)):
+        for vname, fe in (("matched", ev_f), ("mismatched", ev_mis)):
+            t0 = time.time()
+            stats, _ = r.decode(fe, refs)
+            table[f"{mname}_{vname}"] = round(stats.wer, 2)
+            print(f"  {mname} on {vname}: {stats.report()} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+
+    res = {
+        "utts": args.utts,
+        "rotation": [t for t in LIBRISPEECH_ROTATION if t in tagged],
+        "control_final_cv_acc": hist_ctl[max(hist_ctl)]["cv_acc"],
+        "augmented_final_cv_acc": hist_aug[max(hist_aug)]["cv_acc"],
+        "wer": table,
+        "mismatch_view": "shift 12ms, vtln warp 1.12",
+        "hard": bool(args.hard),
+    }
+    with open(os.path.join(args.workdir, "augment_results.json"), "w") as f:
+        json.dump(res, f, indent=2)
+    print("AUGMENT_RESULT", json.dumps(res), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("workdir", nargs="?", default="/tmp/stress_recipe")
@@ -156,15 +254,47 @@ def main():
     ap.add_argument("--eval", type=int, default=300)
     ap.add_argument("--lm-sents", type=int, default=200000)
     ap.add_argument("--stage", type=int, default=0)
+    ap.add_argument(
+        "--hard", action="store_true",
+        help="stress-v2 acoustics: confusable phone inventory, channel "
+             "simulation, rate extremes, SNR 2-18 dB — drives the "
+             "acoustic model itself below ~95%% token accuracy so the "
+             "sweep/lattice/blank-skip parity battery runs under real "
+             "AM uncertainty",
+    )
+    ap.add_argument(
+        "--stop-after", choices=["synth", "feats"], default=None,
+        help="stop after the named (CPU-only) stage — lets synthesis "
+             "run concurrently with TPU work and the run resume later "
+             "from the caches",
+    )
+    ap.add_argument(
+        "--augment", action="store_true",
+        help="A/B the 9-view VTLN x frame-rate augmentation rotation "
+             "(recipes/augment.py) against a clean-trained control, "
+             "scoring both on matched AND warp-mismatched eval features",
+    )
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
     os.makedirs(os.path.dirname(BENCH_GRAPH_CACHE), exist_ok=True)
     t_all = time.time()
 
-    scfg = SynthConfig(
-        num_phones=40, num_words=VOCAB + OOV_WORDS, num_speakers=64,
-        snr_db=15.0, seed=3,
-    )
+    if args.hard:
+        # stress-v2: overlapping phone classes (10 base templates x 4
+        # variants), per-utterance channel tilt/band-limit, wider
+        # speaking-rate spread, shorter phones, lower SNR
+        scfg = SynthConfig(
+            num_phones=40, num_words=VOCAB + OOV_WORDS, num_speakers=64,
+            snr_db=15.0, seed=3, confusable_groups=10, channel_sim=True,
+            rate_range=(0.7, 1.45), phone_dur_ms=(40, 110),
+        )
+        snr_range = (2.0, 18.0)
+    else:
+        scfg = SynthConfig(
+            num_phones=40, num_words=VOCAB + OOV_WORDS, num_speakers=64,
+            snr_db=15.0, seed=3,
+        )
+        snr_range = (8.0, 25.0)
     rng = np.random.default_rng(scfg.seed)
     phones_tbl = make_phones(scfg, rng)
     lex_path = os.path.join(args.workdir, "lexicon.pkl")
@@ -240,13 +370,16 @@ def main():
         all_spk = {**tr_spk, **cv_spk, **ev_spk}
         all_waves = synth_parallel(
             scfg, all_texts, all_spk, synth_lexicon, phones_tbl,
-            snr_range=(8.0, 25.0),
+            snr_range=snr_range,
         )
         np.savez(wav_cache, **all_waves)
         print(f"synthesized {len(all_waves)} utts in "
               f"{time.time()-t0:.0f}s", flush=True)
     hours = sum(len(w) for w in all_waves.values()) / 16000 / 3600
     print(f"total audio: {hours:.2f} h", flush=True)
+    if args.stop_after == "synth":
+        print("stopping after synthesis (--stop-after)", flush=True)
+        return
 
     # ---- recipe ----
     cfg = RecipeConfig(
@@ -298,6 +431,9 @@ def main():
         np.savez(feat_cache,
                  **{k: v.astype(np.float32) for k, v in feats.items()})
         print(f"features in {time.time()-t0:.0f}s", flush=True)
+    if args.stop_after == "feats":
+        print("stopping after features (--stop-after)", flush=True)
+        return
     labels = run.prep_labels(MemData({}, {**tr_texts, **cv_texts}, {}))
 
     tr_f = {k: feats[k] for k in tr_texts}
@@ -372,6 +508,13 @@ def main():
                 prons[r, c] = run.lang.tokens[u]
         np.savez(BENCH_GRAPH_CACHE.replace(".npz", "_meta.npz"),
                  prons=prons, num_tokens=len(units))
+
+    if args.augment:
+        run_augment_ab(
+            args, cfg, run, all_waves, tr_texts, tr_spk, cv_texts,
+            ev_texts, ev_spk, labels, cv_f, ev_f, hist,
+        )
+        return
 
     # ---- stage E: decode + parity evidence ----
     refs = {k: ev_texts[k] for k in ev_f}
@@ -480,7 +623,8 @@ def main():
             "hours": round(hours, 2), "vocab": VOCAB,
             "homophone_pairs": HOMOPHONES,
             "oov_tokens_pct": round(100.0 * n_oov / total_ev, 2),
-            "speakers": scfg.num_speakers, "snr_db": [8.0, 25.0],
+            "speakers": scfg.num_speakers, "snr_db": list(snr_range),
+            "hard": bool(args.hard),
             "train_utts": args.utts, "eval_utts": args.eval,
         },
         "graph": {

