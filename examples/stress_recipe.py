@@ -222,6 +222,10 @@ def run_augment_ab(
     ev_mis = next(iter(mis_tags.values()))
     print(f"mismatched eval features in {time.time()-t0:.0f}s", flush=True)
 
+    if args.aug_eval > 0:
+        keep = set(sorted(ev_f)[:args.aug_eval])
+        ev_f = {k: v for k, v in ev_f.items() if k in keep}
+        ev_mis = {k: v for k, v in ev_mis.items() if k in keep}
     refs = {k: ev_texts[k] for k in ev_f}
     table = {}
     for mname, r in (("control", run_ctl), ("augmented", run_aug)):
@@ -261,6 +265,12 @@ def main():
              "acoustic model itself below ~95%% token accuracy so the "
              "sweep/lattice/blank-skip parity battery runs under real "
              "AM uncertainty",
+    )
+    ap.add_argument(
+        "--aug-eval", type=int, default=0,
+        help="with --augment: decode only the first N eval utts in the "
+             "2x2 table (0 = all) — trims the 4-pass decode cost "
+             "without touching the cached corpus",
     )
     ap.add_argument(
         "--stop-after", choices=["synth", "feats"], default=None,
@@ -654,25 +664,33 @@ def main():
 
 
 def write_results_md(res, sweep):
-    """Append/replace the stress-corpus section of RESULTS.md."""
+    """Append/replace the stress-corpus section of RESULTS.md (the v2
+    --hard run writes its own section so both records coexist)."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "RESULTS.md")
-    marker = "## Stress corpus"
+    hard = res["corpus"].get("hard")
+    marker = "## Stress corpus v2" if hard else "## Stress corpus"
     head = ""
     if os.path.exists(path):
         head = open(path).read().split(marker)[0].rstrip() + "\n\n"
     c, g = res["corpus"], res["graph"]
+    snr = c["snr_db"]
+    hard_line = (
+        " Stress-v2 acoustics: 10 confusable phone templates x 4 "
+        "variants, per-utterance channel tilt/band-limit, speaking "
+        "rates 0.7-1.45x." if hard else ""
+    )
     lines = [
         marker + " (20k-word vocabulary, trigram LM, LM-scale TLG)",
         "",
         "The hard proxy for real-corpus validation "
         "(examples/stress_recipe.py):",
         f"{c['hours']} h audio, {c['speakers']} speakers, per-utterance "
-        f"SNR 8-25 dB, {c['vocab']}-word lexicon with "
+        f"SNR {snr[0]:g}-{snr[1]:g} dB, {c['vocab']}-word lexicon with "
         f"{c['homophone_pairs']} homophone pairs, {c['oov_tokens_pct']}% "
         "OOV tokens in eval (unrecognizable by construction — the WER "
         "floor), class-conditioned Markov text so the trigram LM has "
-        "genuine predictive power.",
+        "genuine predictive power." + hard_line,
         "",
         f"- TLG: **{g['states']:,} states / {g['arcs']:,} arcs** "
         "(order-3 LM, native one-call build)",
