@@ -203,7 +203,7 @@ def run_augment_ab(
     hist_aug = run_aug.train(
         canon, {k: labels[k] for k in tr_texts},
         cv_f, {k: labels[k] for k in cv_texts},
-        epochs_batches_repeat=1,
+        epochs_batches_repeat=args.epoch_repeat,
         tagged_feats=tagged,
         tag_order=[t for t in LIBRISPEECH_ROTATION if t in tagged],
     )
@@ -265,6 +265,14 @@ def main():
              "acoustic model itself below ~95%% token accuracy so the "
              "sweep/lattice/blank-skip parity battery runs under real "
              "AM uncertainty",
+    )
+    ap.add_argument(
+        "--epoch-repeat", type=int, default=1,
+        help="repeat the training batches N times per newbob epoch — "
+             "REQUIRED for small --utts runs (a 4,000-utt --hard run at "
+             "repeat=1 never leaves 0%% accuracy before newbob's "
+             "patience runs out; the 24,000-utt run converges because "
+             "each epoch simply has 6x the batches)",
     )
     ap.add_argument(
         "--aug-eval", type=int, default=0,
@@ -455,7 +463,7 @@ def main():
     hist = run.train(
         tr_f, {k: labels[k] for k in tr_texts},
         cv_f, {k: labels[k] for k in cv_texts},
-        epochs_batches_repeat=1,
+        epochs_batches_repeat=args.epoch_repeat,
     )
     print(f"train in {time.time()-t0:.0f}s", flush=True)
     for e in sorted(hist):
