@@ -36,7 +36,7 @@ mesh for multi-chip decoding.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -847,8 +847,11 @@ class StreamingBeamDecoder:
     ~3 s at T=512; summaries make it ms) and partial() emits the current
     best hypothesis after any chunk at the cost of ONE device fetch.
     Results are IDENTICAL to a one-shot decode of the concatenated
-    audio (word truncation beyond summary_words per slot per chunk is
-    counted and raises).
+    audio.  The per-chunk word cap auto-sizes from the chunk length by
+    default (summary_words=None → ~1 word per 2 frames, bounded by the
+    chunk's absolute emission capacity); overflow past an explicit cap
+    is counted per slot and raises in finish() (truncate-and-flag in
+    partial(), `state["truncated"]`).
 
         dec = StreamingBeamDecoder(graph, cfg)
         st = dec.start(batch_size)
@@ -866,23 +869,33 @@ class StreamingBeamDecoder:
     def __init__(
         self, graph: CompiledGraph,
         cfg: BeamSearchConfig = BeamSearchConfig(),
-        summary_words: int = 16,
+        summary_words: Optional[int] = None,
     ):
         init_fn, chunk_fn = make_beam_decoder(graph, cfg, _internals=True)
         self._init = init_fn
-        cap = summary_words
+        cap_cfg = summary_words
 
         def chunk_sum(carry, loglikes, active, dg):
             carry, (st, sc, par, ol, lm) = chunk_fn(
                 carry, loglikes, active, dg
             )
+            if cap_cfg is not None:
+                cap = cap_cfg
+            else:
+                # auto-size from the chunk length (shapes are static at
+                # trace time): one word per 2 frames is several-fold
+                # above real speech rates at the 30 ms post-subsample
+                # frame period; tc*L is the absolute emission bound, so
+                # short chunks can never overflow.
+                tc, _b, _k, L = ol.shape
+                cap = min(max(16, (tc + 1) // 2), tc * L)
             entry, words, cnt, ovf = compose_chunk_paths(par, ol, cap)
             return carry, (entry, words, cnt, ovf)
 
         self._chunk = jax.jit(chunk_sum)
         self.graph = graph
         self.cfg = cfg
-        self.summary_words = cap
+        self.summary_words = cap_cfg
         self.dg = DeviceGraph.put(graph)
 
     def start(self, batch_size: int) -> dict:
@@ -933,21 +946,30 @@ class StreamingBeamDecoder:
         the utterances are still in progress)."""
         scores = np.asarray(state["carry"][1])
         j = np.argmin(np.where(np.isfinite(scores), scores, np.inf), axis=1)
-        return self._walk(state, j.astype(np.int64))
+        return self._walk(state, j.astype(np.int64), strict=False)
 
-    def _walk(self, state: dict, j: np.ndarray) -> List[List[int]]:
+    def _walk(
+        self, state: dict, j: np.ndarray, strict: bool = True,
+    ) -> List[List[int]]:
         b = state["batch"]
         slots = j.copy()
         rev: List[List[int]] = [[] for _ in range(b)]
+        state["truncated"] = False
         for entry, words, cnt, ovf in reversed(state["chunks"]):
             for i in range(b):
                 s = int(slots[i])
                 if int(ovf[i, s]) > 0:
-                    raise OverflowError(
-                        "chunk path emitted more than summary_words="
-                        f"{self.summary_words} labels; re-run with a "
-                        "larger summary_words"
-                    )
+                    if strict:
+                        raise OverflowError(
+                            "chunk path emitted more than "
+                            f"{words.shape[-1]} labels; re-run with a "
+                            "larger summary_words (or summary_words="
+                            "None to auto-size from the chunk length)"
+                        )
+                    # partial(): truncate-and-flag — an in-progress
+                    # hypothesis may legitimately be dropped later, so a
+                    # best-effort prefix beats a crash mid-stream
+                    state["truncated"] = True
                 n = int(cnt[i, s])
                 rev[i].extend(int(w) for w in words[i, s, :n][::-1])
                 slots[i] = int(entry[i, s])

@@ -198,7 +198,7 @@ def _fwd_call(xw, mask, w_m, ph, interpret):
             pltpu.VMEM((b, hp), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT,
+            vmem_limit_bytes=int(_VMEM_LIMIT),
         ),
         interpret=interpret,
     )(xw, mask, w_m, ph)
@@ -232,7 +232,7 @@ def _bwd_call(mask, gates, craw, cprev_seq, gm, w_m, ph, interpret):
             pltpu.VMEM((b, hp), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT,
+            vmem_limit_bytes=int(_VMEM_LIMIT),
         ),
         interpret=interpret,
     )(mask, gates, craw, cprev_seq, gm, w_m, ph)
@@ -521,7 +521,7 @@ def _fused_fwd_call(x, mask, wx_bf, bias, wm_bf, ph, block_t, interpret):
             pltpu.VMEM((b, hp), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT,
+            vmem_limit_bytes=int(_VMEM_LIMIT),
         ),
         interpret=interpret,
     )(x, mask, wx_bf, bias, wm_bf, ph)
@@ -584,7 +584,7 @@ def _fused_bwd_call(
             pltpu.VMEM((bt * b, fourhp), jnp.bfloat16),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT,
+            vmem_limit_bytes=int(_VMEM_LIMIT),
         ),
         interpret=interpret,
     )(x, mask, gates, ccarry, mcarry, ccarry, mcarry, gm, wx_bf, wm_bf, ph)
@@ -632,8 +632,80 @@ def _lstm_fused_fwd(x, mask, w_x, bias, w_m, ph, block_t, interpret):
 # through the fully fused path instead of the v1 fallback (round-3
 # limitation), and lets H=320 B=128 run bigger time blocks whose
 # block-level dx/dwx matmuls have 8x taller MXU operands.
-_VMEM_LIMIT = 100 * 2**20
-_VMEM_BUDGET = 88 * 2**20
+#
+# The limit is derived from the detected device generation: 100 MiB on
+# parts with 128 MiB physical VMEM (v4/v5/v6/v7 families, measured on
+# v5e), the conservative 16 MiB scoped default otherwise — so on small-
+# VMEM generations the estimators route big shapes to the v1 fallback
+# instead of failing at Mosaic compile time.
+
+
+def _detect_vmem_limit() -> int:
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:  # noqa: BLE001 - no devices/backend: conservative
+        return 16 * 2**20
+    for tag in ("v4", "v5", "v6", "v7"):
+        if tag in kind:
+            return 100 * 2**20
+    if "tpu" in kind:      # v2/v3 and unknown TPU parts: 16 MiB VMEM
+        return 16 * 2**20
+    return 100 * 2**20     # CPU interpret / non-TPU: limit is nominal
+
+
+class _LazyVmem:
+    """Module-level ints resolved on first use (device query at import
+    time would initialize the backend too early)."""
+
+    _limit: Optional[int] = None
+
+    @classmethod
+    def limit(cls) -> int:
+        if cls._limit is None:
+            cls._limit = _detect_vmem_limit()
+        return cls._limit
+
+    @classmethod
+    def budget(cls) -> int:
+        return cls.limit() - 12 * 2**20 if cls.limit() > 32 * 2**20 \
+            else cls.limit() - 4 * 2**20
+
+
+class _VmemInt:
+    """Int-like proxy so existing `vmem_limit_bytes=int(_VMEM_LIMIT)` call
+    sites keep working unchanged."""
+
+    def __init__(self, fn):
+        self._fn = fn
+
+    def __index__(self) -> int:
+        return self._fn()
+
+    def __int__(self) -> int:
+        return self._fn()
+
+    # comparisons/arithmetic the estimators use
+    def __le__(self, other):
+        return self._fn() <= other
+
+    def __lt__(self, other):
+        return self._fn() < other
+
+    def __ge__(self, other):
+        return self._fn() >= other
+
+    def __gt__(self, other):
+        return self._fn() > other
+
+    def __rsub__(self, other):
+        return other - self._fn()
+
+    def __sub__(self, other):
+        return self._fn() - other
+
+
+_VMEM_LIMIT = _VmemInt(_LazyVmem.limit)
+_VMEM_BUDGET = _VmemInt(_LazyVmem.budget)
 
 
 def _fwd_vmem_bytes(bt: int, b: int, dp: int, hp: int) -> int:

@@ -41,13 +41,13 @@ class RecipeConfig:
     # 0 disables the guard.  The merge is exact only when each blank run
     # carries <= 1 label transition (frame_skip.py), so the guard makes
     # the default defensible on content where that premise fails.
-    # Default 16: at the ~3% per-utterance mismatch rate measured on the
-    # round-3 stress eval (9/300 utts differed), a 4-utt sample passed
-    # ~89% of the time — statistically blind to the decision it gates;
-    # 16 samples catch a 3% rate with ~39% power per pass and every
-    # mismatch downgrades the whole pass to the full search, so repeated
-    # passes converge on the safe path.
-    blank_skip_guard: int = 16
+    # Default 64: at the ~3% per-utterance mismatch rate measured on the
+    # round-3 stress eval (9/300 utts differed), 64 samples detect with
+    # ~86% power per pass (16 gave ~39%; 4 only ~11%), every mismatch
+    # downgrades the whole pass to the full search, and the verdict is
+    # cached per eval set within a RecipeRun so repeated sweeps pay the
+    # double decode once.
+    blank_skip_guard: int = 64
 
 
 _FBANK40 = FbankOptions(
@@ -76,9 +76,15 @@ def _model(layers: int, cell: int, input_dim: int, fgate: float = 0.0,
 
 
 # All decode configs enable blank-run-merged frame skipping
-# (decoder/frame_skip.py, threshold 0.98): WER parity with the full
-# search is exact by construction and was validated error-for-error on
-# the flagship corpus; decode cost drops by the model's blank rate.
+# (decoder/frame_skip.py, threshold 0.98).  The merge is an
+# APPROXIMATION: it is exact only when each blank run carries <= 1
+# label transition, and measurement shows that premise can fail —
+# 9/300 stress-eval utterances differed (7.51% vs 7.46% WER, round 3),
+# and the round-4 stress-v2 guard caught a live mismatch.  The
+# blank_skip_guard below (skip-vs-full word-identity sampling before
+# every sweep, auto-fallback to the full search on any mismatch) is
+# what makes the default defensible; decode cost drops by the model's
+# blank rate (2-8x).
 RECIPES = {
     # WSJ phoneme CTC (asr_egs/wsj/run_ctc_phn.sh:66-86, RESULTS:11 -> 7.28%)
     "wsj_phn": RecipeConfig(

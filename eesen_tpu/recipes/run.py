@@ -520,9 +520,20 @@ class RecipeRun:
         words = self.lang.words
         dcfg = self.cfg.decode
         if dcfg.blank_skip > 0.0 and self.cfg.blank_skip_guard > 0:
-            ok, info = self.check_blank_skip_parity(
-                feats, batch_size=batch_size
-            )
+            # cache the verdict per eval set: repeated sweeps (acwt
+            # tuning re-runs, rescoring passes) pay the double decode
+            # once per RecipeRun
+            guard_key = (tuple(sorted(feats)), dcfg.blank_skip)
+            cached = getattr(self, "_guard_cache", {}).get(guard_key)
+            if cached is not None:
+                ok, info = cached
+            else:
+                ok, info = self.check_blank_skip_parity(
+                    feats, batch_size=batch_size
+                )
+                if not hasattr(self, "_guard_cache"):
+                    self._guard_cache = {}
+                self._guard_cache[guard_key] = (ok, info)
             if ok:
                 log.info(
                     "blank-skip parity guard: %d/%d sampled utterances "

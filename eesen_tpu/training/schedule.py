@@ -35,6 +35,7 @@ class NewbobScheduler:
     cvacc_prev: float = 0.0
     halving: bool = False
     learn_rate: float = 0.0
+    finished: bool = False          # persisted stop decision (resume guard)
 
     def __post_init__(self) -> None:
         if self.learn_rate == 0.0:
@@ -63,6 +64,11 @@ class NewbobScheduler:
         self.epoch += 1
         if self.epoch > self.cfg.max_iters:
             stop = True
+        # persist the stop decision: a resumed run must not re-enter
+        # training after the schedule has completed (the reference's
+        # `.epoch` dotfile ends the shell loop the same way —
+        # steps/train_ctc_parallel.sh:132-190)
+        self.finished = stop
         return stop, self.learn_rate
 
     # ---- resume support ----
@@ -72,6 +78,7 @@ class NewbobScheduler:
             "cvacc_prev": self.cvacc_prev,
             "halving": self.halving,
             "learn_rate": self.learn_rate,
+            "finished": self.finished,
         }
 
     def load_state_dict(self, d: dict) -> None:
@@ -79,6 +86,9 @@ class NewbobScheduler:
         self.cvacc_prev = float(d["cvacc_prev"])
         self.halving = bool(d["halving"])
         self.learn_rate = float(d["learn_rate"])
+        # older sched.json files lack the flag; epoch > max_iters is the
+        # equivalent completion signal for those
+        self.finished = bool(d.get("finished", self.epoch > self.cfg.max_iters))
 
     def save(self, path: str) -> None:
         with open(path, "w") as f:

@@ -397,6 +397,18 @@ class Trainer:
         takes_epoch = bool(inspect.signature(train_batches_fn).parameters)
         history = {}
         while True:
+            if self.sched.finished or self.sched.epoch > self.sched.cfg.max_iters:
+                # restored schedule already signalled completion — do NOT
+                # train a phantom extra epoch; proceed straight to whatever
+                # follows (decode).  Matches the reference, where a final
+                # `.epoch` dotfile ends the shell loop before another iter
+                # starts (steps/train_ctc_parallel.sh:132-190).
+                log.info(
+                    "schedule complete (epoch %d > max_iters %d or finished) "
+                    "— skipping training",
+                    self.sched.epoch, self.sched.cfg.max_iters,
+                )
+                break
             epoch = self.sched.epoch
             lr = self.sched.learn_rate
             tr = self.run_epoch(

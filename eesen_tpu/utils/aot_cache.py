@@ -23,11 +23,32 @@ from __future__ import annotations
 import hashlib
 import os
 import pickle
+import stat
+import tempfile
 from typing import Any, Callable, Optional, Sequence
 
 import jax
 
-DEFAULT_DIR = "/tmp/eesen_bench_cache/aot"
+# user-scoped cache dir: pickle.load on attacker-controlled bytes is code
+# execution, so the cache must not live at a predictable world-writable
+# path another local user could pre-plant files in.
+DEFAULT_DIR = os.path.join(
+    tempfile.gettempdir(), f"eesen_aot_{os.getuid()}"
+)
+
+
+def _owned_by_us(path: str) -> bool:
+    """True iff `path` exists, is owned by our uid, and (for dirs) is not
+    writable by group/other."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    if st.st_uid != os.getuid():
+        return False
+    if stat.S_ISDIR(st.st_mode) and (st.st_mode & (stat.S_IWGRP | stat.S_IWOTH)):
+        return False
+    return True
 
 
 def source_hash(modules: Sequence[Any]) -> str:
@@ -62,7 +83,7 @@ def save(name: str, fp: str, compiled, cache_dir: str = DEFAULT_DIR) -> str:
     from jax.experimental.serialize_executable import serialize
 
     payload, in_tree, out_tree = serialize(compiled)
-    os.makedirs(cache_dir, exist_ok=True)
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
     path = _path(name, fp, cache_dir)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -75,6 +96,9 @@ def load(name: str, fp: str, cache_dir: str = DEFAULT_DIR):
     """Deserialize a cached executable, or None on any miss/failure."""
     path = _path(name, fp, cache_dir)
     if not os.path.exists(path):
+        return None
+    # never unpickle from a dir/file we don't own (local pre-plant attack)
+    if not (_owned_by_us(cache_dir) and _owned_by_us(path)):
         return None
     try:
         from jax.experimental.serialize_executable import (

@@ -48,3 +48,44 @@ def test_fit_saves_and_resumes(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
     # scheduler state restored too
     assert t2.sched.epoch == t1.sched.epoch
+
+
+def test_resume_finished_run_trains_zero_batches(tmp_path):
+    """Resuming a COMPLETED run must not train a phantom extra epoch.
+
+    Round-4 regression: the restored schedule (epoch = max_iters + 1)
+    re-entered the train loop for a full epoch before the stop check ran
+    (reference semantics: a final `.epoch` dotfile ends the loop —
+    steps/train_ctc_parallel.sh:132-190)."""
+    cfg = make_cfg(tmp_path, max_iters=2)
+    t1 = Trainer(cfg)
+    t1.fit(lambda: iter(batches()), lambda: iter(batches()))
+    assert t1.sched.finished
+
+    calls = {"train": 0, "cv": 0}
+
+    def counting(kind):
+        def gen():
+            calls[kind] += 1
+            return iter(batches())
+        return gen
+
+    t2 = Trainer(make_cfg(tmp_path, max_iters=2))
+    hist = t2.fit(counting("train"), counting("cv"))
+    assert calls == {"train": 0, "cv": 0}
+    assert hist == {}
+    assert t2.sched.finished
+
+
+def test_resume_legacy_sched_json_without_finished_flag(tmp_path):
+    """Old sched.json files (no `finished` key) with epoch > max_iters
+    must also be treated as complete."""
+    import json
+    from eesen_tpu.training.schedule import NewbobConfig, NewbobScheduler
+
+    p = tmp_path / "sched.json"
+    p.write_text(json.dumps(
+        {"epoch": 3, "cvacc_prev": 50.0, "halving": True,
+         "learn_rate": 0.01}))
+    sched = NewbobScheduler.load(str(p), NewbobConfig(max_iters=2))
+    assert sched.finished

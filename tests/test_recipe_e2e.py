@@ -242,10 +242,20 @@ def test_blank_skip_guard(tmp_path):
         seen_cfgs.append(kw.get("decode_cfg"))
         return orig(feats_, **kw)
 
-    run.check_blank_skip_parity = lambda *a, **k: (
-        False, {"checked": ["x"], "mismatched": ["x"]}
-    )
+    guard_calls = []
+
+    def fake_guard(*a, **k):
+        guard_calls.append(1)
+        return False, {"checked": ["x"], "mismatched": ["x"]}
+
+    run.check_blank_skip_parity = fake_guard
     run.decode_lattices = capture
     run.score_sweep(cv_feats, refs, acwts=(0.9,))
     assert seen_cfgs and seen_cfgs[0] is not None
     assert seen_cfgs[0].blank_skip == 0.0
+    assert len(guard_calls) == 1
+    # verdict is cached per eval set: a second sweep must not pay the
+    # double decode again, and must still use the downgraded cfg
+    run.score_sweep(cv_feats, refs, acwts=(0.9,))
+    assert len(guard_calls) == 1
+    assert seen_cfgs[1].blank_skip == 0.0
