@@ -21,34 +21,34 @@ def edit_distance_stats(
 ) -> Tuple[int, int, int, int]:
     """Return (total, insertions, deletions, substitutions).
 
-    Tie-breaking mirrors the reference (src/util/edit-distance-inl.h:29-113):
-    among equal-cost paths prefer substitutions, then deletions, then
-    insertions, which is what compute-wer reports.
+    EXACT mirror of the reference recursion and its tie-breaking
+    (src/util/edit-distance-inl.h:77-123): substitution only when
+    strictly cheaper than both alternatives, deletion only when strictly
+    cheaper than insertion — so on ties insertion wins, then deletion,
+    then substitution.  The breakdown compute-wer prints depends on this
+    order (cross-validated against the compiled reference binary in
+    tests/test_reference_parity.py).
     """
-    n, m = len(ref), len(hyp)
-    # dp[j] = (cost, ins, del, sub) for ref[:i], hyp[:j]
-    dp = [(j, j, 0, 0) for j in range(m + 1)]
-    for i in range(1, n + 1):
-        prev_diag = dp[0]
-        dp[0] = (i, 0, i, 0)
-        for j in range(1, m + 1):
-            up = dp[j]          # ref[:i-1], hyp[:j]   -> deletion of ref token
-            left = dp[j - 1]    # ref[:i],   hyp[:j-1] -> insertion of hyp token
-            diag = prev_diag    # ref[:i-1], hyp[:j-1] -> match / substitution
-            if ref[i - 1] == hyp[j - 1]:
-                cand = diag
+    # e[ref_index] = (total, ins, del, sub) for hyp[:h] vs ref[:ref_index]
+    e = [(i, 0, i, 0) for i in range(len(ref) + 1)]
+    for h in range(1, len(hyp) + 1):
+        cur = [(e[0][0] + 1, e[0][1] + 1, e[0][2], e[0][3])]
+        for r in range(1, len(ref) + 1):
+            ins_err = e[r][0] + 1
+            del_err = cur[r - 1][0] + 1
+            sub_err = e[r - 1][0] + (hyp[h - 1] != ref[r - 1])
+            if sub_err < ins_err and sub_err < del_err:
+                t, i_, d_, s_ = e[r - 1]
+                cur.append((sub_err, i_, d_,
+                            s_ + (hyp[h - 1] != ref[r - 1])))
+            elif del_err < ins_err:
+                t, i_, d_, s_ = cur[r - 1]
+                cur.append((del_err, i_, d_ + 1, s_))
             else:
-                cand = (diag[0] + 1, diag[1], diag[2], diag[3] + 1)
-            dcand = (up[0] + 1, up[1], up[2] + 1, up[3])
-            icand = (left[0] + 1, left[1] + 1, left[2], left[3])
-            best = cand
-            if dcand[0] < best[0]:
-                best = dcand
-            if icand[0] < best[0]:
-                best = icand
-            prev_diag = dp[j]
-            dp[j] = best
-    return dp[m]
+                t, i_, d_, s_ = e[r]
+                cur.append((ins_err, i_ + 1, d_, s_))
+        e = cur
+    return e[len(ref)]
 
 
 def align_pair(
