@@ -69,10 +69,14 @@ class BiLstmConfig:
     # fused Pallas recurrence: "auto" uses it on TPU when no recurrent
     # dropout is active; "never"/"always" force the choice
     use_pallas: str = "auto"
+    # False = unidirectional <Lstm>/<LstmParallel>
+    # (reference: src/net/lstm-layer.h:28-508, lstm-parallel-layer.h:223)
+    # — the streaming-capable acoustic model (models/streaming.py)
+    bidirectional: bool = True
 
     @property
     def output_dim(self) -> int:
-        return 2 * self.cell_dim
+        return (2 if self.bidirectional else 1) * self.cell_dim
 
 
 def _init_direction(key: Array, cfg: BiLstmConfig) -> Params:
@@ -96,6 +100,8 @@ def _init_direction(key: Array, cfg: BiLstmConfig) -> Params:
 
 def init_bilstm_layer(key: Array, cfg: BiLstmConfig) -> Params:
     kf, kb = jax.random.split(key)
+    if not cfg.bidirectional:
+        return {"fw": _init_direction(kf, cfg)}
     return {
         "fw": _init_direction(kf, cfg),
         "bw": _init_direction(kb, cfg),
@@ -129,10 +135,19 @@ def _direction_scan(
     mask: Array,
     cfg: BiLstmConfig,
     rec_drop_mask: Optional[Array],
+    carry_in: Optional[Tuple[Array, Array]] = None,
+    return_carry: bool = False,
 ) -> Array:
     """One direction's recurrence, TIME-MAJOR: x [T, B, D] (already
     time-flipped for the backward direction), mask [T, B] float 0/1,
     rec_drop_mask [T or 1, B, H]; returns m [T, B, H].
+
+    carry_in/return_carry expose the (c, m) state for STREAMING
+    unidirectional inference (models/streaming.py): a chunked run with
+    the carried state is bit-identical to one scan over the
+    concatenation (the mask freeze keeps short rows' states intact
+    across chunk boundaries).  The fused Pallas path always starts from
+    zeros, so a carried call uses the XLA scan.
 
     Time-major is the layout both consumers want — lax.scan carries it
     natively and the Pallas kernel streams [block_t, B, D] blocks — so
@@ -143,7 +158,8 @@ def _direction_scan(
     h = cfg.cell_dim
     cdt = cfg.compute_dtype
 
-    if rec_drop_mask is None and _pallas_enabled(cfg):
+    if (rec_drop_mask is None and _pallas_enabled(cfg)
+            and carry_in is None and not return_carry):
         # fully fused kernel: input projection + recurrence in one
         # pallas_call, W_x/W_m resident in VMEM (ops/lstm_pallas.py v2)
         from eesen_tpu.ops.lstm_pallas import lstm_direction_fused_tm
@@ -191,7 +207,7 @@ def _direction_scan(
         m_carry = m + m_prev * (1.0 - mt)
         return (c, m_carry), m
 
-    init = (
+    init = carry_in if carry_in is not None else (
         jnp.zeros((b, h), jnp.float32),
         jnp.zeros((b, h), jnp.float32),
     )
@@ -199,12 +215,14 @@ def _direction_scan(
         def step2(carry, inp):
             return step(carry, (*inp, None))
 
-        _, ms = jax.lax.scan(step2, init, (xw, mask))
+        final, ms = jax.lax.scan(step2, init, (xw, mask))
     else:
         rd = jnp.broadcast_to(
             rec_drop_mask, (t_max, b, rec_drop_mask.shape[-1])
         )
-        _, ms = jax.lax.scan(step, init, (xw, mask, rd))
+        final, ms = jax.lax.scan(step, init, (xw, mask, rd))
+    if return_carry:
+        return ms, final
     return ms  # [T, B, H]
 
 
@@ -255,7 +273,7 @@ def bilstm_layer_tm(
             k2, cfg.recurrent_dropout, cfg.recurrent_step_dropout,
             b, t_max, cfg.cell_dim,
         )
-        if cfg.twiddle:
+        if cfg.twiddle and cfg.bidirectional:
             # apply dropout to exactly one direction, chosen at random
             # (the reference's twiddle alternation,
             # bilstm-parallel-layer.h:385-405)
@@ -266,19 +284,26 @@ def bilstm_layer_tm(
 
     m_fw = _direction_scan(params["fw"], x, mask, cfg, rd_fw)
 
-    x_rev = jnp.flip(x, axis=0)
-    mask_rev = jnp.flip(mask, axis=0)
-    m_bw_rev = _direction_scan(params["bw"], x_rev, mask_rev, cfg, rd_bw)
-    m_bw = jnp.flip(m_bw_rev, axis=0)
-
-    y = jnp.concatenate([m_fw, m_bw], axis=-1)
+    if cfg.bidirectional:
+        x_rev = jnp.flip(x, axis=0)
+        mask_rev = jnp.flip(mask, axis=0)
+        m_bw_rev = _direction_scan(
+            params["bw"], x_rev, mask_rev, cfg, rd_bw
+        )
+        m_bw = jnp.flip(m_bw_rev, axis=0)
+        y = jnp.concatenate([m_fw, m_bw], axis=-1)
+    else:
+        # unidirectional <Lstm(Parallel)> (src/net/lstm-layer.h:170-265
+        # forward-only recurrence) — the layer the streaming acoustic
+        # model is built from
+        y = m_fw
 
     if train and cfg.forward_dropout > 0.0:
         assert rng is not None, "forward dropout needs an rng"
         k, _ = jax.random.split(rng)
         fd = _dropout_mask(
             k, cfg.forward_dropout, cfg.forward_step_dropout,
-            b, t_max, 2 * cfg.cell_dim,
+            b, t_max, cfg.output_dim,
         )
         y = y * fd
 

@@ -47,11 +47,19 @@ class AcousticModelConfig:
     twiddle: bool = False
     compute_dtype: Any = jnp.bfloat16
     use_pallas: str = "auto"
+    # False = unidirectional <Lstm(Parallel)> stack (streaming-capable;
+    # reference: src/net/lstm-parallel-layer.h:223)
+    bidirectional: bool = True
+
+    @property
+    def layer_output_dim(self) -> int:
+        return (2 if self.bidirectional else 1) * self.cell_dim
 
     def layer_cfg(self, index: int) -> BiLstmConfig:
-        in_dim = self.input_dim if index == 0 else 2 * self.cell_dim
+        in_dim = self.input_dim if index == 0 else self.layer_output_dim
         return BiLstmConfig(
             input_dim=in_dim,
+            bidirectional=self.bidirectional,
             cell_dim=self.cell_dim,
             param_range=self.param_range,
             fgate_bias=self.fgate_bias,
@@ -73,7 +81,7 @@ def init_model(key: Array, cfg: AcousticModelConfig) -> Params:
         for i in range(cfg.num_layers)
     ]
     r = cfg.param_range
-    out_in = 2 * cfg.cell_dim
+    out_in = cfg.layer_output_dim
     k_w, k_b = jax.random.split(keys[-1])
     out = {
         "w": jax.random.uniform(

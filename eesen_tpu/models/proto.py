@@ -24,7 +24,7 @@ between LSTMs) are rejected with a clear error.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 from eesen_tpu.models.model import AcousticModelConfig
 
@@ -57,6 +57,7 @@ def parse_nnet_proto(text: str) -> AcousticModelConfig:
     """Parse a model_topo.py-style nnet.proto into AcousticModelConfig."""
     lstm_lines = []
     affine_lines = []
+    bidirectional: Optional[bool] = None
     for raw in text.splitlines():
         line = raw.strip()
         if not line or line in ("<Nnet>", "</Nnet>"):
@@ -66,10 +67,12 @@ def parse_nnet_proto(text: str) -> AcousticModelConfig:
         opts = _tokens_to_dict(parts[1:])
         if marker in ("<BiLstmParallel>", "<BiLstm>",
                       "<LstmParallel>", "<Lstm>"):
-            if marker in ("<LstmParallel>", "<Lstm>"):
+            bi = marker in ("<BiLstmParallel>", "<BiLstm>")
+            if bidirectional is None:
+                bidirectional = bi
+            elif bidirectional != bi:
                 raise NotImplementedError(
-                    "unidirectional <LstmParallel> protos are not supported"
-                    " (no reference recipe uses them; use <BiLstmParallel>)"
+                    "mixed Lstm/BiLstm stacks are not supported"
                 )
             lstm_lines.append(opts)
         elif marker == "<AffineTransform>":
@@ -88,10 +91,17 @@ def parse_nnet_proto(text: str) -> AcousticModelConfig:
         )
     first = lstm_lines[0]
     actual_cell = int(first["CellDim"])
-    if actual_cell % 2:
-        raise ValueError(f"<CellDim> {actual_cell} is odd (must be 2x the "
-                         "per-direction cell dim for BiLstm)")
-    cell_dim = actual_cell // 2
+    if bidirectional:
+        # <CellDim> is 2x the per-direction dim for BiLstm
+        # (model_topo.py:135 actual_cell_dim); for uni <Lstm> it IS the
+        # cell dim (layer.cc:119-124 passes it as output_dim)
+        if actual_cell % 2:
+            raise ValueError(
+                f"<CellDim> {actual_cell} is odd (must be 2x the "
+                "per-direction cell dim for BiLstm)")
+        cell_dim = actual_cell // 2
+    else:
+        cell_dim = actual_cell
     input_dim = int(first["InputDim"])
     for opts in lstm_lines[1:]:
         if int(opts["CellDim"]) != actual_cell:
@@ -125,12 +135,13 @@ def parse_nnet_proto(text: str) -> AcousticModelConfig:
         recurrent_step_dropout=rec_drop > 0 and not rec_seq,
         recurrent_dropout_mode=mode,
         twiddle=_bool(first.get("TwiddleForward", "F")),
+        bidirectional=bool(bidirectional),
     )
 
 
 def emit_nnet_proto(cfg: AcousticModelConfig, max_grad: float = 50.0) -> str:
     """AcousticModelConfig -> model_topo.py-compatible proto text."""
-    actual = 2 * cfg.cell_dim
+    actual = cfg.layer_output_dim
     common = (f" <ParamRange> {cfg.param_range} <LearnRateCoef> 1.0"
               f" <MaxGrad> {max_grad}")
     if cfg.fgate_bias:
@@ -151,9 +162,10 @@ def emit_nnet_proto(cfg: AcousticModelConfig, max_grad: float = 50.0) -> str:
         common += " <TwiddleForward> T"
     lines = ["<Nnet>"]
     in_dim = cfg.input_dim
+    marker = "<BiLstmParallel>" if cfg.bidirectional else "<LstmParallel>"
     for _ in range(cfg.num_layers):
         lines.append(
-            f"<BiLstmParallel> <InputDim> {in_dim} <CellDim> {actual}"
+            f"{marker} <InputDim> {in_dim} <CellDim> {actual}"
             + common
         )
         in_dim = actual
