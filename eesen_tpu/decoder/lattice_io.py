@@ -316,6 +316,64 @@ def write_compact_lattice_binary(clat: "CompactLattice", f: BinaryIO) -> None:
             _w_int32(f, remap[a.nextstate])
 
 
+def write_fst_binary(fst, f: BinaryIO) -> None:
+    """Write a tropical-weight Fst (decoder/fst.Fst) as an OpenFst
+    binary VectorFst<StdArc> (arctype "standard", 1-float weights) —
+    the file format the reference's `fst::ReadFstKaldi` loads as a
+    decode graph (fstext/fstext-utils-inl.h:1267), used to hand our TLG
+    to the compiled reference latgen-faster for cross-validation."""
+    n = fst.num_states
+    # OpenFst has no separate final set: weight inf == not final
+    order = list(range(n))
+    if n and fst.start > 0:
+        order[0], order[fst.start] = fst.start, 0
+    remap = {s: i for i, s in enumerate(order)}
+    _write_fst_header(f, "standard", 0 if n else -1, n, fst.num_arcs)
+    for s in order:
+        _w_f32(f, fst.finals.get(s, _F32_INF))
+        _w_int64(f, len(fst.arcs[s]))
+        for a in fst.arcs[s]:
+            _w_int32(f, a.ilabel)
+            _w_int32(f, a.olabel)
+            _w_f32(f, a.weight)
+            _w_int32(f, remap[a.nextstate])
+
+
+def read_fst_binary(f: BinaryIO):
+    """Read an OpenFst binary VectorFst<StdArc> into decoder/fst.Fst."""
+    from eesen_tpu.decoder.fst import Arc, Fst
+
+    r = _BinReader(f)
+    magic = r.i32()
+    if magic != _FST_MAGIC:
+        raise ValueError(f"bad FST magic {magic}")
+    fsttype, arctype = r.s(), r.s()
+    if fsttype != "vector" or arctype != "standard":
+        raise ValueError(f"unsupported fst {fsttype}/{arctype}")
+    r.i32()          # version
+    r.i32()          # flags
+    r.u64()          # properties
+    start = r.i64()
+    nstates = r.i64()
+    r.i64()          # narcs
+    out = Fst()
+    for _ in range(nstates):
+        out.add_state()
+    for s in range(nstates):
+        w = r.f32()
+        if w != _F32_INF:
+            out.set_final(s, w)
+        narcs = r.i64()
+        for _ in range(narcs):
+            il, ol = r.i32(), r.i32()
+            aw = r.f32()
+            ns = r.i32()
+            out.add_arc(s, Arc(il, ol, aw, ns))
+    if nstates:
+        out.set_start(int(start))
+    return out
+
+
 def read_lattice_binary(f: BinaryIO):
     """Read a binary Lattice or CompactLattice; returns whichever type
     the arc type declares (lattice4/8 -> Lattice, compactlattice44/84 ->

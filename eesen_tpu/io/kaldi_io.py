@@ -138,17 +138,36 @@ def _read_binary_value(f: BinaryIO) -> np.ndarray:
 
 
 def _read_int_vector_binary(f: BinaryIO, first: bytes) -> np.ndarray:
-    """Binary int32 vector: '\\x04' + count + per-element '\\x04'+int32.
+    """Binary int32 vector, BOTH reference encodings:
 
-    (reference: io-funcs-inl.h WriteIntegerVector writes the raw array;
-    but each element of a std::vector<int32> written via WriteBasicType
-    carries its own size byte only in the *basic-type* path — the vector
-    path writes size once then the raw array.)
-    """
+    - table-holder format (util/kaldi-holder-inl.h:197-208
+      BasicVectorHolder::Write — what Int32VectorWriter emits, e.g.
+      latgen-faster's words/alignments arks): '\\x04'+count then
+      PER-ELEMENT '\\x04'+int32 markers;
+    - raw-array format (base/io-funcs-inl.h:91-103 WriteIntegerVector):
+      '\\x04'+count then the packed int32 array.
+
+    Disambiguated by validating the per-element markers; a raw vector
+    whose every 5th byte happens to be 0x04 across all elements cannot
+    also satisfy the trailing length check except for genuinely
+    ambiguous content, which real label/word arks don't produce."""
     if first != b"\x04":
         raise ValueError("bad int-vector size marker")
     n = struct.unpack("<i", f.read(4))[0]
-    return np.frombuffer(f.read(4 * n), dtype=np.int32).copy()
+    if n == 0:
+        return np.zeros((0,), np.int32)
+    buf = f.read(4 * n)
+    k = min(n, len(buf) // 5)
+    markers = buf[:1] == b"\x04" and all(
+        buf[5 * i] == 4 for i in range(k)
+    )
+    if markers:   # per-element format: 5 bytes/elem, read the remainder
+        buf += f.read(5 * n - len(buf))
+        a = np.frombuffer(buf, np.uint8).reshape(n, 5)
+        if not (a[:, 0] == 4).all():
+            raise ValueError("corrupt per-element int-vector markers")
+        return a[:, 1:5].copy().view("<i4").reshape(n)
+    return np.frombuffer(buf, dtype=np.int32).copy()
 
 
 def _read_text_value(f: BinaryIO, first: bytes) -> np.ndarray:
@@ -352,10 +371,16 @@ def read_matrix(f: BinaryIO) -> np.ndarray:
 
 
 def _write_int_vector(f: BinaryIO, vec: np.ndarray) -> None:
+    # table-holder layout (BasicVectorHolder::Write,
+    # util/kaldi-holder-inl.h:197-208): per-element '\x04' markers —
+    # the format the reference's Int32Vector table READERS expect
     vec = np.ascontiguousarray(vec, dtype=np.int32)
     f.write(b"\x00B\x04")
     f.write(struct.pack("<i", len(vec)))
-    f.write(vec.tobytes())
+    out = np.empty((len(vec), 5), np.uint8)
+    out[:, 0] = 4
+    out[:, 1:5] = vec.view(np.uint8).reshape(len(vec), 4)
+    f.write(out.tobytes())
 
 
 def write_ark(

@@ -294,6 +294,207 @@ def test_copy_feats_roundtrip_through_reference(ref_bin, tmp_path,
 
 
 # ---------------------------------------------------------------------
+# decoder: our TPU beam search vs the reference's LatticeFasterDecoder
+# ---------------------------------------------------------------------
+
+def test_latgen_faster_matches_our_decoder(ref_bin, tmp_path):
+    """Feed IDENTICAL log-likelihood matrices and the SAME TLG to the
+    compiled reference latgen-faster (decoderbin/latgen-faster.cc:33-140,
+    built via the mini-OpenFst shim) and to our batched beam decoder;
+    assert identical best-path word sequences and compute-wer outputs.
+
+    This is the reference-anchored decode parity the synthetic WER
+    numbers could not provide: the reference's own LatticeFasterDecoder
+    + DeterminizeLatticePhonePruned run on our graph and our
+    posteriors, through our binary FST/ark writers."""
+    import jax.numpy as jnp
+
+    from eesen_tpu.decoder.arpa import arpa_to_fst
+    from eesen_tpu.decoder.beam import (
+        BeamSearchConfig, DeviceGraph, make_beam_decoder, traceback,
+    )
+    from eesen_tpu.decoder.ctc_graph import (
+        build_lg, build_tlg, compile_lang,
+    )
+    from eesen_tpu.decoder.graph_compile import compile_graph
+    from eesen_tpu.decoder.lattice_io import write_fst_binary
+    from tests.test_beam import synth_loglikes
+    from tests.test_ctc_graph import ARPA, LEXICON, UNITS
+
+    lang = compile_lang(LEXICON, UNITS, dict_type="phn")
+    g_fst = arpa_to_fst(ARPA, lang.words)
+    tlg = build_tlg(lang.t_fst, build_lg(lang.l_fst, g_fst))
+
+    fst_path = str(tmp_path / "tlg.fst")
+    with open(fst_path, "wb") as f:
+        write_fst_binary(tlg, f)
+
+    # synthetic "posteriors" whose token paths exist in the graph
+    rng = np.random.default_rng(17)
+    seqs = [
+        ["a", "<blk>", "b", "<blk>", "b", "a"],
+        ["a", "a", "b", "c", "<blk>", "b"],
+        ["c", "<blk>", "a", "b", "<blk>", "a", "c"],
+        ["b", "b", "<blk>", "c", "a"],
+    ]
+    lls = [synth_loglikes(rng, lang, s, t_per=3, noise=1.0) for s in seqs]
+    keys = [f"utt{i:02d}" for i in range(len(lls))]
+    ark_path = str(tmp_path / "ll.ark")
+    kaldi_io.write_ark(
+        ark_path, [(k, m.astype(np.float32)) for k, m in zip(keys, lls)]
+    )
+
+    acwt = 0.9
+    lat_path = str(tmp_path / "lat.ark")
+    words_path = str(tmp_path / "ref_words.ark")
+    r = subprocess.run(
+        [os.path.join(ref_bin, "latgen-faster"),
+         f"--acoustic-scale={acwt}", "--beam=1e9", "--max-active=100000",
+         "--lattice-beam=8.0",
+         fst_path, f"ark:{ark_path}", f"ark:{lat_path}",
+         f"ark:{words_path}"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ref_words = {k: list(v) for k, v in kaldi_io.read_ark(words_path)}
+    assert sorted(ref_words) == keys
+
+    # ours: batched TPU search on the same graph + loglikes
+    g = compile_graph(tlg, max_degree=8, build_closure=True)
+    cfg = BeamSearchConfig(beam=1e9, max_active=1024,
+                           acoustic_scale=acwt)
+    t_max = max(len(x) for x in lls)
+    v = lls[0].shape[1]
+    batch = np.full((len(lls), t_max, v), -30.0, np.float32)
+    lengths = np.asarray([len(x) for x in lls], np.int32)
+    for i, x in enumerate(lls):
+        batch[i, : len(x)] = x
+    out = make_beam_decoder(g, cfg)(
+        jnp.asarray(batch), jnp.asarray(lengths), DeviceGraph.put(g)
+    )
+    ours = traceback(out, lengths, g.final_weight)
+
+    for k, (wids, cost) in zip(keys, ours):
+        assert list(wids) == ref_words[k], (
+            k, list(wids), ref_words[k],
+            [lang.words.sym(w) for w in wids],
+            [lang.words.sym(w) for w in ref_words[k]],
+        )
+
+    # the reference's lattices parse through our lattice IO and their
+    # best paths match too
+    from eesen_tpu.decoder.lattice_io import read_lattice_ark
+
+    n_lats = 0
+    for k, clat in read_lattice_ark(lat_path):
+        _, wids, _ = clat.best_path()
+        assert list(wids) == ref_words[k], (k, wids, ref_words[k])
+        n_lats += 1
+    assert n_lats == len(keys)
+
+
+def test_latgen_faster_wer_matches(ref_bin, tmp_path):
+    """End-to-end: reference decode -> reference compute-wer equals our
+    decode -> our compute_wer on the same inputs (error-for-error)."""
+    import jax.numpy as jnp
+
+    from eesen_tpu.decoder.arpa import arpa_to_fst
+    from eesen_tpu.decoder.beam import (
+        BeamSearchConfig, DeviceGraph, make_beam_decoder, traceback,
+    )
+    from eesen_tpu.decoder.ctc_graph import (
+        build_lg, build_tlg, compile_lang,
+    )
+    from eesen_tpu.decoder.graph_compile import compile_graph
+    from eesen_tpu.decoder.lattice_io import write_fst_binary
+    from eesen_tpu.decoder.score import compute_wer
+    from tests.test_beam import synth_loglikes
+    from tests.test_ctc_graph import ARPA, LEXICON, UNITS
+
+    lang = compile_lang(LEXICON, UNITS, dict_type="phn")
+    g_fst = arpa_to_fst(ARPA, lang.words)
+    tlg = build_tlg(lang.t_fst, build_lg(lang.l_fst, g_fst))
+    fst_path = str(tmp_path / "tlg.fst")
+    with open(fst_path, "wb") as f:
+        write_fst_binary(tlg, f)
+
+    # noisy posteriors so some utterances decode WRONG (real WER > 0)
+    rng = np.random.default_rng(23)
+    seqs, refs = [], {}
+    word_prons = dict(LEXICON)
+    vocab = sorted(word_prons)
+    for i in range(12):
+        words = [vocab[int(j)]
+                 for j in rng.integers(0, len(vocab), int(rng.integers(1, 4)))]
+        units = []
+        for w in words:
+            units.extend(word_prons[w])
+            units.append("<blk>")
+        seqs.append(units)
+        refs[f"utt{i:02d}"] = words
+    lls = [synth_loglikes(rng, lang, s, t_per=2, noise=3.5) for s in seqs]
+    keys = sorted(refs)
+    ark_path = str(tmp_path / "ll.ark")
+    kaldi_io.write_ark(
+        ark_path, [(k, m.astype(np.float32)) for k, m in zip(keys, lls)]
+    )
+
+    acwt = 0.9
+    words_path = str(tmp_path / "ref_words.ark")
+    r = subprocess.run(
+        [os.path.join(ref_bin, "latgen-faster"),
+         f"--acoustic-scale={acwt}", "--beam=1e9", "--max-active=100000",
+         "--lattice-beam=8.0",
+         fst_path, f"ark:{ark_path}",
+         f"ark:{tmp_path / 'lat.ark'}", f"ark:{words_path}"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ref_words = {k: list(v) for k, v in kaldi_io.read_ark(words_path)}
+
+    g = compile_graph(tlg, max_degree=8, build_closure=True)
+    cfg = BeamSearchConfig(beam=1e9, max_active=1024,
+                           acoustic_scale=acwt)
+    t_max = max(len(x) for x in lls)
+    batch = np.full((len(lls), t_max, lls[0].shape[1]), -30.0, np.float32)
+    lengths = np.asarray([len(x) for x in lls], np.int32)
+    for i, x in enumerate(lls):
+        batch[i, : len(x)] = x
+    out = make_beam_decoder(g, cfg)(
+        jnp.asarray(batch), jnp.asarray(lengths), DeviceGraph.put(g)
+    )
+    ours = traceback(out, lengths, g.final_weight)
+    our_hyps = {
+        k: [lang.words.sym(w) for w in wids]
+        for k, (wids, _) in zip(keys, ours)
+    }
+    ref_hyps = {
+        k: [lang.words.sym(w) for w in ws] for k, ws in ref_words.items()
+    }
+    assert our_hyps == ref_hyps
+
+    # score both ways: reference compute-wer on reference hyps vs our
+    # compute_wer on our hyps — identical error breakdowns
+    ref_txt = str(tmp_path / "ref.txt")
+    hyp_txt = str(tmp_path / "hyp.txt")
+    with open(ref_txt, "w") as f:
+        for k in keys:
+            f.write(f"{k} {' '.join(refs[k])}\n")
+    with open(hyp_txt, "w") as f:
+        for k in keys:
+            f.write(f"{k} {' '.join(ref_hyps[k])}\n")
+    res = _run(ref_bin, "compute-wer", "--text", "--mode=present",
+               f"ark:{ref_txt}", f"ark:{hyp_txt}")
+    want = _parse_ref_wer(res.stdout)
+    got = compute_wer(refs, our_hyps)
+    assert got.errors == want["errors"]
+    assert got.insertions == want["ins"]
+    assert got.deletions == want["del"]
+    assert got.substitutions == want["sub"]
+    assert abs(got.wer - want["wer"]) < 0.01
+
+
+# ---------------------------------------------------------------------
 # scoring
 # ---------------------------------------------------------------------
 

@@ -86,5 +86,42 @@ for s in "${BIN_SRCS[@]}"; do
 done
 wait
 
+# ---- decoder chain (latgen-faster) via the mini-OpenFst shim ----
+# tools/refbuild/shim provides a from-scratch subset of the OpenFst API
+# (no OpenFst source exists here); -Ishim shadows fst/ + fstext-lib.h.
+SHIM="$(cd "$(dirname "$0")" && pwd)/shim"
+SHIMFLAGS="-I$SHIM $CXXFLAGS"
+
+# shim headers are a build input: a newer shim than an object means the
+# object may have a stale vtable layout — rebuild it (a mixed link
+# segfaults)
+newest_shim=$(ls -t "$SHIM"/fst/*.h "$SHIM"/fst/script/*.h "$SHIM"/fstext/*.h | head -1)
+
+DEC_SRCS=(
+  decoder/lattice-faster-decoder.cc
+  decoder/decoder-wrappers.cc
+  lat/kaldi-lattice.cc
+  lat/determinize-lattice-pruned.cc
+  lat/lattice-functions.cc
+  lat/minimize-lattice.cc
+  lat/push-lattice.cc
+)
+for s in "${DEC_SRCS[@]}"; do
+  [ -f "$SRC/$s" ] || continue
+  obj="$OUT/obj/$(echo "$s" | tr / _ | sed 's/\.cc$/.o/')"
+  if [ ! -f "$obj" ] || [ "$SRC/$s" -nt "$obj" ] \
+      || [ "$newest_shim" -nt "$obj" ]; then
+    $CXX $SHIMFLAGS -c "$SRC/$s" -o "$obj" &
+  fi
+done
+wait
+
+bin="$OUT/bin/latgen-faster"
+if [ ! -f "$bin" ] || [ "$SRC/decoderbin/latgen-faster.cc" -nt "$bin" ] \
+    || [ "$newest_shim" -nt "$bin" ]; then
+  $CXX $SHIMFLAGS "$SRC/decoderbin/latgen-faster.cc" \
+    $(ls "$OUT"/obj/*.o) $LIBS -o "$bin"
+fi
+
 echo "OK: $(ls "$OUT/bin" | wc -l) binaries in $OUT/bin"
 ls "$OUT/bin"
