@@ -276,6 +276,75 @@ def test_subsample_matches_reference(ref_bin, tmp_path, fbank_ark):
                                    err_msg=k)
 
 
+def test_compressed_write_reads_through_reference(ref_bin, tmp_path,
+                                                  fbank_ark):
+    """Our CompressedMatrix WRITE (kaldi_io.write_ark compress=True, the
+    CM/CM2 formats of cpucompute/compressed-matrix.cc:404-470) must be
+    readable by the reference's copy-feats, matching within the lossy
+    format's quantization error."""
+    _, feats = fbank_ark
+    ours_ark = str(tmp_path / "ours_cm.ark")
+    kaldi_io.write_ark(
+        ours_ark,
+        [(k, feats[k].astype(np.float32)) for k in sorted(feats)],
+        compress=True,
+    )
+    out = str(tmp_path / "uncompressed.ark")
+    _run(ref_bin, "copy-feats", f"ark:{ours_ark}", f"ark:{out}")
+    back = _read_ref_ark(out)
+    for k, m in feats.items():
+        rng_col = m.max(axis=0) - m.min(axis=0) + 1e-3
+        err = np.abs(back[k] - m) / rng_col[None, :]
+        # 16-bit (CM) / 8-bit (CM2 percentile) quantization budget
+        assert err.max() < 0.02, (k, err.max())
+
+    # and the reference's own --compress output reads through us
+    ref_cm = str(tmp_path / "ref_cm.ark")
+    _run(ref_bin, "copy-feats", "--compress=true",
+         f"ark:{out}", f"ark:{ref_cm}")
+    ours_back = _read_ref_ark(ref_cm)
+    for k, m in feats.items():
+        rng_col = m.max(axis=0) - m.min(axis=0) + 1e-3
+        err = np.abs(ours_back[k] - m) / rng_col[None, :]
+        assert err.max() < 0.02, (k, err.max())
+
+
+def test_pitch_matches_reference_binary(ref_bin, tmp_path):
+    """Live pitch parity: run the actual compute-kaldi-pitch-feats +
+    process-kaldi-pitch-feats binaries (featbin/) vs our kaldi_pitch +
+    process_pitch, complementing the frozen golden fixtures."""
+    from eesen_tpu.frontend.pitch import (
+        PitchOptions, ProcessPitchOptions, kaldi_pitch, process_pitch,
+    )
+    import jax.numpy as jnp
+
+    scp, waves = _synth_waves(str(tmp_path), n=2)
+    out = str(tmp_path / "pitch.ark")
+    _run(ref_bin, "compute-kaldi-pitch-feats", f"scp:{scp}",
+         f"ark:{out}")
+    ref = _read_ref_ark(out)
+    for k, w in waves.items():
+        ours = np.asarray(kaldi_pitch(jnp.asarray(w), PitchOptions()))
+        assert ours.shape == ref[k].shape
+        rel = np.abs(ours[:, 1] - ref[k][:, 1]) / np.abs(ref[k][:, 1])
+        assert rel.max() < 6e-3, (k, rel.max())
+
+    proc = str(tmp_path / "pitch_proc.ark")
+    # delta-pitch dither is random by design; disable it on both sides
+    _run(ref_bin, "process-kaldi-pitch-feats",
+         "--delta-pitch-noise-stddev=0.0", f"ark:{out}",
+         f"ark:{proc}")
+    pref = _read_ref_ark(proc)
+    for k in waves:
+        ours = np.asarray(process_pitch(
+            jnp.asarray(ref[k]),
+            ProcessPitchOptions(delta_pitch_noise_stddev=0.0),
+        ))
+        assert ours.shape == pref[k].shape
+        np.testing.assert_allclose(ours, pref[k], rtol=2e-2, atol=2e-2,
+                                   err_msg=k)
+
+
 def test_copy_feats_roundtrip_through_reference(ref_bin, tmp_path,
                                                 fbank_ark):
     """Our binary ark written by kaldi_io must be readable by the
