@@ -339,6 +339,80 @@ def write_fst_binary(fst, f: BinaryIO) -> None:
             _w_int32(f, remap[a.nextstate])
 
 
+def write_compiled_graph_binary(cg, f: BinaryIO) -> None:
+    """Write a CompiledGraph's base arc tables (emit + eps CSR) as an
+    OpenFst binary VectorFst<StdArc> — vectorized (no per-arc Python),
+    so the LM-scale 3M-state graphs serialize in seconds.
+
+    This emits the EXACT automaton the TPU beam search walks (after
+    degree capping), which is what the reference latgen-faster should
+    search for a decoder-level parity test (hub/closure tables are
+    derived acceleration structures, not part of the automaton)."""
+    import numpy as np
+
+    n = int(cg.num_states)
+    e_cnt = np.diff(cg.emit_offsets).astype(np.int64)
+    x_cnt = np.diff(cg.eps_offsets).astype(np.int64)
+    narcs = e_cnt + x_cnt
+    total_arcs = int(narcs.sum())
+
+    # combined per-state arc stream: eps arcs first, then emitting
+    il = np.empty(total_arcs, np.int32)
+    ol = np.empty(total_arcs, np.int32)
+    wt = np.empty(total_arcs, np.float32)
+    dst = np.empty(total_arcs, np.int32)
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(narcs, out=starts[1:])
+    # scatter eps arcs: position starts[s] + rank
+    src_e = np.repeat(np.arange(n), x_cnt)
+    rank_e = np.arange(len(src_e)) - np.repeat(
+        cg.eps_offsets[:-1].astype(np.int64), x_cnt)
+    pos = starts[src_e] + rank_e
+    il[pos] = 0
+    ol[pos] = cg.eps_olabel
+    wt[pos] = cg.eps_weight
+    dst[pos] = cg.eps_dst
+    # emitting arcs after the eps block
+    src_m = np.repeat(np.arange(n), e_cnt)
+    rank_m = np.arange(len(src_m)) - np.repeat(
+        cg.emit_offsets[:-1].astype(np.int64), e_cnt)
+    pos = starts[src_m] + x_cnt[src_m] + rank_m
+    il[pos] = cg.emit_ilabel
+    ol[pos] = cg.emit_olabel
+    wt[pos] = cg.emit_weight
+    dst[pos] = cg.emit_dst
+
+    # state 0 must be the start state in the file (header start idx is
+    # free in OpenFst, so just record cg.start — no remap needed)
+    _write_fst_header(f, "standard", int(cg.start), n, total_arcs)
+
+    # serialize with vectorized scatter into one byte buffer:
+    # per state: f32 final + i64 narcs (12 B); per arc: 16 B
+    hdr_bytes = 12 * n
+    out = np.empty(hdr_bytes + 16 * total_arcs, np.uint8)
+    block_start = np.zeros(n, np.int64)
+    np.cumsum(12 + 16 * narcs[:-1], out=block_start[1:])
+    # finals (inf = non-final already in final_weight)
+    fin = np.asarray(cg.final_weight, np.float32).view(np.uint8)
+    idx = block_start[:, None] + np.arange(4)
+    out[idx] = fin.reshape(n, 4)
+    nb = narcs.astype("<i8").view(np.uint8).reshape(n, 8)
+    idx = block_start[:, None] + 4 + np.arange(8)
+    out[idx] = nb
+    # arcs
+    rec = np.empty((total_arcs, 16), np.uint8)
+    rec[:, 0:4] = il.astype("<i4").view(np.uint8).reshape(-1, 4)
+    rec[:, 4:8] = ol.astype("<i4").view(np.uint8).reshape(-1, 4)
+    rec[:, 8:12] = wt.astype("<f4").view(np.uint8).reshape(-1, 4)
+    rec[:, 12:16] = dst.astype("<i4").view(np.uint8).reshape(-1, 4)
+    arc_pos = (block_start + 12)[np.repeat(np.arange(n), narcs)] \
+        + 16 * (np.arange(total_arcs)
+                - np.repeat(starts[:-1], narcs))
+    idx = arc_pos[:, None] + np.arange(16)
+    out[idx] = rec
+    f.write(out.tobytes())
+
+
 def read_fst_binary(f: BinaryIO):
     """Read an OpenFst binary VectorFst<StdArc> into decoder/fst.Fst."""
     from eesen_tpu.decoder.fst import Arc, Fst

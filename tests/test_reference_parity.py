@@ -462,6 +462,79 @@ def test_latgen_faster_matches_our_decoder(ref_bin, tmp_path):
     assert n_lats == len(keys)
 
 
+def test_compiled_graph_serializer_matches_decode(ref_bin, tmp_path):
+    """write_compiled_graph_binary (the vectorized LM-scale serializer)
+    must yield the same latgen-faster decode as the raw-FST writer —
+    i.e. the compiled automaton (post degree-cap) is search-equivalent
+    to the original TLG."""
+    import jax.numpy as jnp
+
+    from eesen_tpu.decoder.arpa import arpa_to_fst
+    from eesen_tpu.decoder.beam import (
+        BeamSearchConfig, DeviceGraph, make_beam_decoder, traceback,
+    )
+    from eesen_tpu.decoder.ctc_graph import (
+        build_lg, build_tlg, compile_lang,
+    )
+    from eesen_tpu.decoder.graph_compile import compile_graph
+    from eesen_tpu.decoder.lattice_io import (
+        read_fst_binary, write_compiled_graph_binary,
+    )
+    from tests.test_beam import synth_loglikes
+    from tests.test_ctc_graph import ARPA, LEXICON, UNITS
+
+    lang = compile_lang(LEXICON, UNITS, dict_type="phn")
+    g_fst = arpa_to_fst(ARPA, lang.words)
+    tlg = build_tlg(lang.t_fst, build_lg(lang.l_fst, g_fst))
+    g = compile_graph(tlg, max_degree=4, build_closure=True)
+
+    cg_path = str(tmp_path / "compiled.fst")
+    with open(cg_path, "wb") as f:
+        write_compiled_graph_binary(g, f)
+    # round-trips through our own reader with matching counts
+    with open(cg_path, "rb") as f:
+        back = read_fst_binary(f)
+    assert back.num_states == g.num_states
+    assert back.num_arcs == g.num_emit_arcs + g.num_eps_arcs
+    assert back.start == g.start
+
+    rng = np.random.default_rng(29)
+    seqs = [["a", "<blk>", "b", "b", "a"],
+            ["c", "<blk>", "a", "b", "c"]]
+    lls = [synth_loglikes(rng, lang, s, t_per=3, noise=1.0) for s in seqs]
+    keys = [f"u{i}" for i in range(len(lls))]
+    ark_path = str(tmp_path / "ll.ark")
+    kaldi_io.write_ark(
+        ark_path, [(k, m.astype(np.float32)) for k, m in zip(keys, lls)]
+    )
+    r = subprocess.run(
+        [os.path.join(ref_bin, "latgen-faster"), "--acoustic-scale=0.9",
+         "--beam=1e9", "--max-active=100000", "--lattice-beam=8.0",
+         cg_path, f"ark:{ark_path}",
+         f"ark:{tmp_path / 'lat.ark'}",
+         f"ark:{tmp_path / 'words.ark'}"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ref_words = {
+        k: list(v)
+        for k, v in kaldi_io.read_ark(str(tmp_path / "words.ark"))
+    }
+    cfg = BeamSearchConfig(beam=1e9, max_active=1024, acoustic_scale=0.9)
+    t_max = max(len(x) for x in lls)
+    batch = np.full((len(lls), t_max, lls[0].shape[1]), -30.0,
+                    np.float32)
+    lengths = np.asarray([len(x) for x in lls], np.int32)
+    for i, x in enumerate(lls):
+        batch[i, : len(x)] = x
+    out = make_beam_decoder(g, cfg)(
+        jnp.asarray(batch), jnp.asarray(lengths), DeviceGraph.put(g)
+    )
+    for k, (wids, _) in zip(keys, traceback(out, lengths,
+                                            g.final_weight)):
+        assert list(wids) == ref_words[k], (k, wids, ref_words[k])
+
+
 def test_latgen_faster_wer_matches(ref_bin, tmp_path):
     """End-to-end: reference decode -> reference compute-wer equals our
     decode -> our compute_wer on the same inputs (error-for-error)."""
