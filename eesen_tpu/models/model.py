@@ -50,6 +50,8 @@ class AcousticModelConfig:
     # False = unidirectional <Lstm(Parallel)> stack (streaming-capable;
     # reference: src/net/lstm-parallel-layer.h:223)
     bidirectional: bool = True
+    # bf16 streamed LSTM state (f32 cell accumulator) — see BiLstmConfig
+    state_bf16: bool = False
 
     @property
     def layer_output_dim(self) -> int:
@@ -60,6 +62,7 @@ class AcousticModelConfig:
         return BiLstmConfig(
             input_dim=in_dim,
             bidirectional=self.bidirectional,
+            state_bf16=self.state_bf16,
             cell_dim=self.cell_dim,
             param_range=self.param_range,
             fgate_bias=self.fgate_bias,

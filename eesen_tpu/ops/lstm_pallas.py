@@ -365,10 +365,12 @@ def _fused_fwd_kernel(
         mt = mask_ref[i]                  # [B, 1]
         c_new = c_raw * mt + c_prev * (1.0 - mt)
         m_new = m_raw * mt + m_prev * (1.0 - mt)
+        # carries stay f32 in VMEM (the cell accumulator); the streamed
+        # outputs may be bf16 (state_bf16 mode) to cut HBM write traffic
         m_scr[:] = m_new
         c_scr[:] = c_new
-        m_out_ref[i] = m_new
-        c_out_ref[i] = c_new
+        m_out_ref[i] = m_new.astype(m_out_ref.dtype)
+        c_out_ref[i] = c_new.astype(c_out_ref.dtype)
         gates_ref[i] = jnp.concatenate(
             [g, ig, f, o], axis=1
         ).astype(jnp.bfloat16)
@@ -424,16 +426,16 @@ def _fused_bwd_kernel(
         f = gates[:, 2 * hp : 3 * hp]
         o = gates[:, 3 * hp : 4 * hp]
         if i > 0:
-            c_prev = c_ref[i - 1]
-            m_prev = m_ref[i - 1]
+            c_prev = c_ref[i - 1].astype(jnp.float32)
+            m_prev = m_ref[i - 1].astype(jnp.float32)
         else:
-            c_prev = cl_ref[0] * prev_flag
-            m_prev = ml_ref[0] * prev_flag
+            c_prev = cl_ref[0].astype(jnp.float32) * prev_flag
+            m_prev = ml_ref[0].astype(jnp.float32) * prev_flag
         c_raw = f * c_prev + ig * g       # recomputed residual
         mt = mask_ref[i]                  # [B, 1]
         tanh_c = jnp.tanh(c_raw)
 
-        dm_total = gm_ref[i] + dm_scr[:]
+        dm_total = gm_ref[i].astype(jnp.float32) + dm_scr[:]
         dm_raw = dm_total * mt
         dm_prev_pass = dm_total * (1.0 - mt)
         dc_in = dc_scr[:]
@@ -480,7 +482,8 @@ def _fused_bwd_kernel(
     )
 
 
-def _fused_fwd_call(x, mask, wx_bf, bias, wm_bf, ph, block_t, interpret):
+def _fused_fwd_call(x, mask, wx_bf, bias, wm_bf, ph, block_t, interpret,
+                    state_dtype=jnp.float32):
     t_max, b, dp = x.shape
     fourhp = wm_bf.shape[1]
     hp = fourhp // 4
@@ -512,8 +515,8 @@ def _fused_fwd_call(x, mask, wx_bf, bias, wm_bf, ph, block_t, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_max, b, hp), jnp.float32),
-            jax.ShapeDtypeStruct((t_max, b, hp), jnp.float32),
+            jax.ShapeDtypeStruct((t_max, b, hp), state_dtype),
+            jax.ShapeDtypeStruct((t_max, b, hp), state_dtype),
             jax.ShapeDtypeStruct((t_max, b, fourhp), jnp.bfloat16),
         ],
         scratch_shapes=[
@@ -591,7 +594,7 @@ def _fused_bwd_call(
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def lstm_fused(
     x: Array,        # [T, B, Dp] bf16 (padded; T divisible by block_t)
     mask: Array,     # [T, B, 1] f32
@@ -601,21 +604,27 @@ def lstm_fused(
     ph: Array,       # [3, Hp] f32 (peepholes i, f, o)
     block_t: int = 8,
     interpret: bool = False,
+    state_bf16: bool = False,
 ) -> Array:
     """Fully fused LSTM direction (input projection + recurrence); returns
-    m_carry [T, B, Hp] f32."""
+    m_carry [T, B, Hp] (f32, or bf16 with state_bf16=True — the streamed
+    m/c state traffic halves while the in-VMEM cell accumulator stays
+    f32; consumers cast to compute dtype anyway)."""
     m, _, _ = _fused_fwd_call(
         x, mask, w_x.astype(jnp.bfloat16), bias,
         w_m.astype(jnp.bfloat16), ph, block_t, interpret,
+        jnp.bfloat16 if state_bf16 else jnp.float32,
     )
     return m
 
 
-def _lstm_fused_fwd(x, mask, w_x, bias, w_m, ph, block_t, interpret):
+def _lstm_fused_fwd(x, mask, w_x, bias, w_m, ph, block_t, interpret,
+                    state_bf16):
     wx_bf = w_x.astype(jnp.bfloat16)
     wm_bf = w_m.astype(jnp.bfloat16)
     m, c, gates = _fused_fwd_call(
-        x, mask, wx_bf, bias, wm_bf, ph, block_t, interpret
+        x, mask, wx_bf, bias, wm_bf, ph, block_t, interpret,
+        jnp.bfloat16 if state_bf16 else jnp.float32,
     )
     return m, (x, mask, gates, c, m, wx_bf, wm_bf, ph)
 
@@ -768,7 +777,7 @@ def fused_block_ts(b: int, d: int, h: int, block_t: int = 8):
     return bt_f, bt_b
 
 
-def _lstm_fused_bwd(block_t, interpret, res, gm):
+def _lstm_fused_bwd(block_t, interpret, state_bf16, res, gm):
     x, mask, gates, c, m, wx_bf, wm_bf, ph = res
     t_max, b, dp = x.shape
     hp = wm_bf.shape[0]
@@ -795,12 +804,14 @@ def lstm_direction_fused(
     ph_i: Array, ph_f: Array, ph_o: Array,  # [H]
     block_t: int = 8,
     interpret: bool = False,
+    state_bf16: bool = False,
 ) -> Array:
     """Batch-major wrapper over lstm_direction_fused_tm.
     Returns m [B, T, H] f32."""
     m = lstm_direction_fused_tm(
         jnp.moveaxis(x, 0, 1), jnp.moveaxis(mask, 0, 1),
         w_gifo_x, bias, w_gifo_m, ph_i, ph_f, ph_o, block_t, interpret,
+        state_bf16,
     )
     return jnp.moveaxis(m, 0, 1)
 
@@ -814,9 +825,11 @@ def lstm_direction_fused_tm(
     ph_i: Array, ph_f: Array, ph_o: Array,  # [H]
     block_t: int = 8,
     interpret: bool = False,
+    state_bf16: bool = False,
 ) -> Array:
     """Time-major entry: pad to tiles ONLY when needed, run the fused
-    kernel, unpad.  Returns m [T, B, H] f32.  For the flagship shapes
+    kernel, unpad.  Returns m [T, B, H] f32 (bf16 with state_bf16=True;
+    the recurrence accumulates in f32 regardless).  For the flagship shapes
     (T mult of block_t, B mult of 8, D mult of 128 on stacked layers)
     the input needs no copy at all — the round-2 profile showed the
     zero+set repack costing ~0.5 ms/layer.
@@ -860,7 +873,8 @@ def lstm_direction_fused_tm(
         jnp.pad(ph_f, (0, hp - h)),
         jnp.pad(ph_o, (0, hp - h)),
     ])
-    m = lstm_fused(xt, mk, wx, bs, wm, ph, block_t, interpret)
+    m = lstm_fused(xt, mk, wx, bs, wm, ph, block_t, interpret,
+                   state_bf16)
     return m[:t_max, :b, :h]
 
 

@@ -213,3 +213,47 @@ def test_v1_direction_matches_xla():
             np.asarray(g1[k]), np.asarray(g2[k]), rtol=3e-2, atol=3e-3,
             err_msg=k,
         )
+
+
+def test_fused_state_bf16_matches_f32():
+    """state_bf16=True must match the f32-state path within bf16
+    resolution, forward AND gradients (the cell accumulator stays f32 in
+    VMEM; only the streamed state and the grads that re-read it see
+    quantization)."""
+    cfg, params, x, mask, _ = setup(seed=7)
+    valid = mask[:, :, None]
+
+    def loss(p, xx, sb):
+        m = lstm_direction_fused(
+            xx, mask, p["w_gifo_x"], p["bias"], p["w_gifo_m"],
+            p["phole_i_c"], p["phole_f_c"], p["phole_o_c"],
+            block_t=4, interpret=True, state_bf16=sb,
+        )
+        return jnp.sum((m.astype(jnp.float32) * valid) ** 2)
+
+    m32 = lstm_direction_fused(
+        x, mask, params["w_gifo_x"], params["bias"], params["w_gifo_m"],
+        params["phole_i_c"], params["phole_f_c"], params["phole_o_c"],
+        block_t=4, interpret=True, state_bf16=False,
+    )
+    m16 = lstm_direction_fused(
+        x, mask, params["w_gifo_x"], params["bias"], params["w_gifo_m"],
+        params["phole_i_c"], params["phole_f_c"], params["phole_o_c"],
+        block_t=4, interpret=True, state_bf16=True,
+    )
+    assert m16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(m16, np.float32), np.asarray(m32),
+        rtol=2e-2, atol=1e-2,
+    )
+
+    g32, gx32 = jax.grad(loss, argnums=(0, 1))(params, x, False)
+    g16, gx16 = jax.grad(loss, argnums=(0, 1))(params, x, True)
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(g16[k]), np.asarray(g32[k]),
+            rtol=8e-2, atol=2e-2, err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(gx16), np.asarray(gx32), rtol=8e-2, atol=3e-2
+    )
