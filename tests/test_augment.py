@@ -100,6 +100,7 @@ def test_compute_augmented_features(tmp_path, tiny_data):
     assert not np.allclose(w08, f10)
 
 
+@pytest.mark.slow
 def test_train_rotates_tags(tmp_path, tiny_data, monkeypatch):
     import eesen_tpu.recipes.augment as aug
 

@@ -36,6 +36,7 @@ def _canon(states, scores):
 
 
 @pytest.mark.parametrize("m,k,n_states", [(512, 64, 100), (1000, 128, 4000)])
+@pytest.mark.slow
 def test_matches_xla_dedup(m, k, n_states):
     rng = np.random.default_rng(0)
     dst, score = _make_props(rng, 8, m, n_states)
@@ -84,6 +85,7 @@ def test_fewer_live_than_k():
 
 
 @pytest.mark.parametrize("closure", [False, True])
+@pytest.mark.slow
 def test_end_to_end_beam_decoder_pallas(closure):
     """Full beam search with the Pallas recombination matches both the
     XLA-recombination search and the host FasterDecoder oracle."""

@@ -226,6 +226,7 @@ def test_build_tlg_compiled_matches_separate():
     _compiled_equal(fused, sep)
 
 
+@pytest.mark.slow
 def test_asan_property_suite():
     """Build csrc/fstlib_test.cpp with ASan+UBSan and run it — the
     native-code memory-safety gate (the reference's `make valgrind`,

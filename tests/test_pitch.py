@@ -95,6 +95,7 @@ def test_pitch_follows_change():
     assert abs(np.median(f0[-n // 3 :]) - 220) < 22
 
 
+@pytest.mark.slow
 def test_process_pitch_shape_and_norm():
     w = tone(200)
     raw = kaldi_pitch(jnp.asarray(w))

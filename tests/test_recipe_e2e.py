@@ -173,6 +173,7 @@ def test_full_recipe(tmp_path):
     assert stats2.wer == pytest.approx(stats.wer, abs=1e-9)
 
 
+@pytest.mark.slow
 def test_blank_skip_guard(tmp_path):
     """score_sweep runs the blank-skip parity guard: when the guard
     passes, skipping is used; when it reports a mismatch, the pass falls

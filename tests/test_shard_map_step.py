@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from eesen_tpu.models.model import AcousticModelConfig
 from eesen_tpu.parallel.mesh import MeshConfig, make_mesh
@@ -14,6 +15,7 @@ from eesen_tpu.training.trainer import (
 from tests.test_training import _toy_batch
 
 
+@pytest.mark.slow
 def test_shard_map_matches_jit():
     cfg = AcousticModelConfig(
         input_dim=6, cell_dim=8, num_layers=1, num_targets=5,

@@ -78,6 +78,7 @@ def test_toy_convergence():
     assert errs / refs < 0.3
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     """Data-parallel (8 virtual devices) must match single-device training."""
     cfg = AcousticModelConfig(
