@@ -362,6 +362,68 @@ def test_copy_feats_roundtrip_through_reference(ref_bin, tmp_path,
         np.testing.assert_allclose(back[k], m, rtol=1e-6, err_msg=k)
 
 
+def test_paste_extract_dim_len_match_reference(ref_bin, tmp_path,
+                                               fbank_ark):
+    """paste-feats / feat-to-dim / feat-to-len / extract-segments
+    cross-checks (the remaining featbin tools)."""
+    import subprocess as sp
+
+    ark, feats = fbank_ark
+    # paste-feats: reference paste of (ark, ark) vs our CLI
+    out = str(tmp_path / "pasted.ark")
+    _run(ref_bin, "paste-feats", f"ark:{ark}", f"ark:{ark}",
+         f"ark:{out}")
+    ref = _read_ref_ark(out)
+    ours_out = str(tmp_path / "ours_pasted.ark")
+    r = sp.run(
+        [os.sys.executable, "-m", "eesen_tpu.tools.cli", "paste-feats",
+         f"ark:{ark}", f"ark:{ark}", f"ark:{ours_out}"],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    ours = _read_ref_ark(ours_out)
+    for k in feats:
+        np.testing.assert_allclose(ours[k], ref[k], rtol=1e-6,
+                                   err_msg=k)
+
+    # feat-to-dim / feat-to-len
+    r = _run(ref_bin, "feat-to-dim", f"ark:{ark}", "ark,t:-")
+    dims = {l.split()[0]: int(l.split()[1])
+            for l in r.stdout.splitlines() if l.strip()}
+    for k, m in feats.items():
+        assert dims[k] == m.shape[1]
+    r = _run(ref_bin, "feat-to-len", f"ark:{ark}", "ark,t:-")
+    lens = {l.split()[0]: int(l.split()[1])
+            for l in r.stdout.splitlines() if l.strip()}
+    for k, m in feats.items():
+        assert lens[k] == m.shape[0]
+
+    # extract-segments: cut [0.05, 0.25] of one wave both ways
+    os.makedirs(str(tmp_path / "seg"), exist_ok=True)
+    scp, waves = _synth_waves(str(tmp_path / "seg"), n=1)
+    seg = str(tmp_path / "segments")
+    key = sorted(waves)[0]
+    with open(seg, "w") as f:
+        f.write(f"cut1 {key} 0.05 0.25\n")
+    out_wav = str(tmp_path / "cut.ark")
+    _run(ref_bin, "extract-segments", f"scp:{scp}", seg,
+         f"ark:{out_wav}")
+    # reference writes a wav archive; our wave reader parses the entry
+    from eesen_tpu.io.wave import parse_wav_bytes
+
+    with open(out_wav, "rb") as f:
+        data = f.read()
+    sp_idx = data.index(b" ")
+    wav_key = data[:sp_idx].decode()
+    assert wav_key == "cut1"
+    cut, sr = parse_wav_bytes(data[sp_idx + 1:])
+    want = waves[key][int(0.05 * 16000): int(0.25 * 16000)]
+    assert sr == 16000
+    np.testing.assert_allclose(
+        np.asarray(cut, np.float32).ravel(), want, atol=1.0)
+
+
 # ---------------------------------------------------------------------
 # decoder: our TPU beam search vs the reference's LatticeFasterDecoder
 # ---------------------------------------------------------------------
