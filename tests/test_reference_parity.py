@@ -425,6 +425,121 @@ def test_paste_extract_dim_len_match_reference(ref_bin, tmp_path,
 
 
 # ---------------------------------------------------------------------
+# acoustic model: our forward pass vs the reference's net engine
+# ---------------------------------------------------------------------
+
+def test_net_output_extract_matches_apply_model(ref_bin, tmp_path):
+    """Write our BiLSTM params in the native <Nnet> format, run the
+    reference's OWN forward pass (netbin/net-output-extract.cc ->
+    Net::Feedforward -> bilstm-parallel-layer.h PropagateFnc) on a
+    features archive, and compare with apply_model + softmax frame by
+    frame.  This cross-validates the GIFO packing, peepholes, gate
+    order, and bidirectional recurrence against the reference binary —
+    not against our own reimplementation of it."""
+    import jax
+    import jax.numpy as jnp
+
+    from eesen_tpu.models.model import (
+        AcousticModelConfig, apply_model, init_model,
+    )
+    from eesen_tpu.models.serialize import write_eesen_nnet
+
+    cfg = AcousticModelConfig(
+        input_dim=12, cell_dim=16, num_layers=2, num_targets=9,
+        compute_dtype=jnp.float32,
+    )
+    params = jax.tree_util.tree_map(
+        np.asarray, init_model(jax.random.PRNGKey(11), cfg))
+    model_path = str(tmp_path / "model.nnet")
+    write_eesen_nnet(model_path, params, cfg, parallel=True)
+
+    r = _run(ref_bin, "net-model-info", model_path)
+    assert "BiLstmParallel" in r.stdout or "BiLstmParallel" in r.stderr
+
+    rng = np.random.default_rng(4)
+    feats = {
+        f"u{i}": rng.standard_normal((t, 12)).astype(np.float32)
+        for i, t in enumerate((17, 31, 8))
+    }
+    feats_ark = str(tmp_path / "feats.ark")
+    kaldi_io.write_ark(feats_ark, sorted(feats.items()))
+    out = str(tmp_path / "posteriors.ark")
+    _run(ref_bin, "net-output-extract", "--apply-log=true", model_path,
+         f"ark:{feats_ark}", f"ark:{out}")
+    ref = _read_ref_ark(out)
+
+    for k, m in feats.items():
+        logits = apply_model(
+            params, jnp.asarray(m[None]),
+            jnp.asarray([m.shape[0]], jnp.int32), cfg,
+        )
+        ours = np.asarray(jax.nn.log_softmax(logits[0], axis=-1))
+        assert ours.shape == ref[k].shape
+        np.testing.assert_allclose(ours, ref[k], rtol=2e-3, atol=2e-3,
+                                   err_msg=k)
+
+
+def test_net_initialize_roundtrip(ref_bin, tmp_path):
+    """emit_nnet_proto -> reference net-initialize -> read_eesen_nnet:
+    the reference's own initializer accepts our proto and we read its
+    model file back (netbin/net-initialize.cc -> Layer::Init)."""
+    import jax.numpy as jnp
+
+    from eesen_tpu.models.model import AcousticModelConfig
+    from eesen_tpu.models.proto import emit_nnet_proto
+    from eesen_tpu.models.serialize import read_eesen_nnet
+
+    cfg = AcousticModelConfig(
+        input_dim=10, cell_dim=8, num_layers=2, num_targets=7,
+        compute_dtype=jnp.float32,
+    )
+    proto = str(tmp_path / "nnet.proto")
+    with open(proto, "w") as f:
+        f.write(emit_nnet_proto(cfg))
+    model = str(tmp_path / "init.nnet")
+    _run(ref_bin, "net-initialize", "--binary=true", proto, model)
+    params, cfg2 = read_eesen_nnet(model)
+    assert cfg2.cell_dim == cfg.cell_dim
+    assert cfg2.num_layers == cfg.num_layers
+    assert cfg2.num_targets == cfg.num_targets
+    assert params["layers"][0]["fw"]["w_gifo_x"].shape == (10, 4, 8)
+
+
+def test_format_to_nonparallel_roundtrip(ref_bin, tmp_path):
+    """Our parallel-format file through the reference's
+    format-to-nonparallel converter, read back as <BiLstm>."""
+    import jax
+    import jax.numpy as jnp
+
+    from eesen_tpu.models.model import AcousticModelConfig, init_model
+    from eesen_tpu.models.serialize import (
+        read_eesen_nnet, write_eesen_nnet,
+    )
+
+    cfg = AcousticModelConfig(
+        input_dim=6, cell_dim=8, num_layers=1, num_targets=5,
+        compute_dtype=jnp.float32,
+    )
+    params = jax.tree_util.tree_map(
+        np.asarray, init_model(jax.random.PRNGKey(3), cfg))
+    par = str(tmp_path / "par.nnet")
+    write_eesen_nnet(par, params, cfg, parallel=True)
+    nonpar = str(tmp_path / "nonpar.nnet")
+    _run(ref_bin, "format-to-nonparallel", par, nonpar)
+    params2, cfg2 = read_eesen_nnet(nonpar)
+    for d in ("fw", "bw"):
+        for k, a in params["layers"][0][d].items():
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(params2["layers"][0][d][k]),
+                rtol=1e-6, err_msg=f"{d}/{k}",
+            )
+    for k, a in params["out"].items():
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(params2["out"][k]), rtol=1e-6,
+        )
+
+
+# ---------------------------------------------------------------------
 # decoder: our TPU beam search vs the reference's LatticeFasterDecoder
 # ---------------------------------------------------------------------
 

@@ -86,6 +86,38 @@ for s in "${BIN_SRCS[@]}"; do
 done
 wait
 
+# ---- net chain (net-output-extract etc.; CuMatrix falls back to CPU
+# without HAVE_CUDA) ----
+NET_SRCS=(
+  gpucompute/cuda-common.cc gpucompute/cuda-device.cc
+  gpucompute/cuda-math.cc gpucompute/cuda-matrix.cc
+  gpucompute/cuda-rand.cc gpucompute/cuda-vector.cc
+  net/layer.cc net/net.cc net/ctc-loss.cc net/ce-loss.cc
+  net/class-prior.cc
+)
+for s in "${NET_SRCS[@]}"; do
+  [ -f "$SRC/$s" ] || continue
+  obj="$OUT/obj/$(echo "$s" | tr / _ | sed 's/\.cc$/.o/')"
+  if [ ! -f "$obj" ] || [ "$SRC/$s" -nt "$obj" ]; then
+    $CXX $CXXFLAGS -c "$SRC/$s" -o "$obj" &
+  fi
+done
+wait
+
+NET_BINS=(
+  netbin/net-output-extract.cc netbin/net-initialize.cc
+  netbin/net-copy.cc netbin/net-average.cc netbin/net-model-info.cc
+  netbin/format-to-nonparallel.cc
+)
+for s in "${NET_BINS[@]}"; do
+  [ -f "$SRC/$s" ] || continue
+  bin="$OUT/bin/$(basename "$s" .cc)"
+  if [ ! -f "$bin" ] || [ "$SRC/$s" -nt "$bin" ]; then
+    $CXX $CXXFLAGS "$SRC/$s" $(ls "$OUT"/obj/*.o) $LIBS -o "$bin" &
+  fi
+done
+wait
+
 # ---- decoder chain (latgen-faster) via the mini-OpenFst shim ----
 # tools/refbuild/shim provides a from-scratch subset of the OpenFst API
 # (no OpenFst source exists here); -Ishim shadows fst/ + fstext-lib.h.
