@@ -191,9 +191,26 @@ def run_augment_ab(
         print(f"aug features (9 views x {len(tr_texts)} utts) in "
               f"{time.time()-t0:.0f}s", flush=True)
 
-    # augmented model: fresh run dir, same lang/graph
+    # augmented model: fresh run dir, same lang/graph.  CRITICAL detail
+    # from the reference: the multi-view recipe passes
+    # --halving-after-epoch 386 (run_nml_seq_fw_seq_tw.sh:22,140) —
+    # newbob's annealing/patience is effectively DISABLED, because cv
+    # accuracy oscillates +-30 points with the epoch's training view
+    # and would otherwise fire spuriously mid-rotation (the round-5
+    # first A/B attempt died exactly this way at epoch 7/10).  Train a
+    # fixed 2x rotation budget at constant LR instead.
+    rotation = [t for t in LIBRISPEECH_ROTATION if t in tagged]
+    aug_cfg = dataclasses.replace(
+        cfg,
+        newbob=dataclasses.replace(
+            cfg.newbob,
+            max_iters=2 * len(rotation),
+            min_iters=2 * len(rotation),
+            halving_after_epoch=10**6,
+        ),
+    )
     run_aug = RecipeRun(
-        cfg, os.path.join(args.workdir, "exp_aug"),
+        aug_cfg, os.path.join(args.workdir, "exp_aug"),
         run_ctl.lexicon, run_ctl.units,
     )
     run_aug.lang = run_ctl.lang
@@ -205,7 +222,7 @@ def run_augment_ab(
         cv_f, {k: labels[k] for k in cv_texts},
         epochs_batches_repeat=args.epoch_repeat,
         tagged_feats=tagged,
-        tag_order=[t for t in LIBRISPEECH_ROTATION if t in tagged],
+        tag_order=rotation,
     )
     print(f"augmented train in {time.time()-t0:.0f}s", flush=True)
     for e in sorted(hist_aug):
