@@ -43,10 +43,15 @@ def main():
     ap.add_argument("--ref-bin", default="/tmp/ref_build/bin")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--acwt", type=float, default=0.9)
+    ap.add_argument("--cpu", action="store_true",
+                    help="run the forward+decode on CPU (the whole "
+                         "crossval is CPU-feasible: ~3 s/utt decode)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp  # noqa: F401
