@@ -46,6 +46,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="run the forward+decode on CPU (the whole "
                          "crossval is CPU-feasible: ~3 s/utt decode)")
+    ap.add_argument("--max-active", type=int, default=512,
+                    help="our search's active-set width K; raising it "
+                         "should shrink disagreements caused purely by "
+                         "pruning-width differences vs latgen's 7000")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -123,7 +127,8 @@ def main():
         newbob=NewbobConfig(learn_rate=5e-4, max_iters=10, min_iters=4),
         batch=BatchConfig(num_sequence=128, frame_limit=80000,
                           time_quant=128),
-        decode=BeamSearchConfig(beam=17.0, max_active=512, funnel_mult=2,
+        decode=BeamSearchConfig(beam=17.0, max_active=args.max_active,
+                                funnel_mult=2,
                                 acoustic_scale=args.acwt,
                                 lattice_beam=8.0, blank_skip=0.0),
         blank_skip_guard=0,
