@@ -256,8 +256,13 @@ def run_augment_ab(
     res = {
         "utts": args.utts,
         "rotation": [t for t in LIBRISPEECH_ROTATION if t in tagged],
-        "control_final_cv_acc": hist_ctl[max(hist_ctl)]["cv_acc"],
-        "augmented_final_cv_acc": hist_aug[max(hist_aug)]["cv_acc"],
+        # a resumed-complete control run trains zero epochs -> {} history
+        "control_final_cv_acc": (
+            hist_ctl[max(hist_ctl)]["cv_acc"] if hist_ctl else None
+        ),
+        "augmented_final_cv_acc": (
+            hist_aug[max(hist_aug)]["cv_acc"] if hist_aug else None
+        ),
         "wer": table,
         "mismatch_view": "shift 12ms, vtln warp 1.12",
         "hard": bool(args.hard),
