@@ -75,8 +75,10 @@ class BiLstmConfig:
     bidirectional: bool = True
     # stream the fused kernel's m/c state in bf16 (cell accumulator
     # stays f32 in VMEM) — cuts the recurrence's HBM traffic ~25%;
-    # affects gradients only at bf16 resolution
-    state_bf16: bool = False
+    # affects gradients only at bf16 resolution.  Default ON: measured
+    # +2.8% (H=320) / +5.4% (H=640) step throughput with loss
+    # trajectories identical to f32 state (BENCH_NOTES round 5b)
+    state_bf16: bool = True
 
     @property
     def output_dim(self) -> int:

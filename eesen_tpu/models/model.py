@@ -51,7 +51,7 @@ class AcousticModelConfig:
     # reference: src/net/lstm-parallel-layer.h:223)
     bidirectional: bool = True
     # bf16 streamed LSTM state (f32 cell accumulator) — see BiLstmConfig
-    state_bf16: bool = False
+    state_bf16: bool = True
 
     @property
     def layer_output_dim(self) -> int:
