@@ -672,7 +672,10 @@ def main():
             "arcs": g.num_emit_arcs + g.num_eps_arcs,
             "lm_order": 3,
         },
-        "final_cv_acc": hist[max(hist)]["cv_acc"],
+        # empty when training was resume-skipped (schedule complete)
+        "final_cv_acc": (
+            hist[max(hist)]["cv_acc"] if hist else None
+        ),
         "sweep": {str(a): round(s.wer, 2) for a, s in sweep.items()},
         "best_acwt": best_acwt, "wer": best.wer,
         "wer_report": best.report(),
