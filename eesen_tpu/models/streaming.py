@@ -30,6 +30,7 @@ from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from eesen_tpu.models.bilstm import _direction_scan
 from eesen_tpu.models.model import AcousticModelConfig
@@ -92,6 +93,133 @@ def stream_step(
         + params["out"]["b"]
     )
     return jnp.moveaxis(logits, 0, 1), new_carries
+
+
+class StreamingPipeline:
+    """FUSED online ASR: acoustic model chunk + log-softmax + WFST
+    decoder chunk in ONE jitted program per audio chunk.
+
+    The separate StreamingAcousticModel + StreamingBeamDecoder flow
+    costs 3-4 device dispatches per chunk (AM step, softmax, decoder
+    accept, summary fetch) — on a remote-tunnel platform each dispatch
+    is ~40 ms of RPC, dominating the serving latency (BENCH_NOTES
+    round 5d: ~142 ms fixed per chunk).  This pipeline:
+
+    - traces AM forward + log_softmax + the decoder's chunk program +
+      on-device path-summary composition into one jit;
+    - keeps the per-chunk [B, K] summaries ON DEVICE (no per-chunk
+      fetch) — partial()/finish() fetch them all in one transfer when
+      the application actually wants a hypothesis.
+
+        pipe = StreamingPipeline(params, cfg, graph, bcfg)
+        st = pipe.start(batch)
+        for chunk in feature_chunks:          # [B, Tc, D]
+            st = pipe.step(st, chunk, lengths)
+        for words, cost in pipe.finish(st): ...
+
+    Results are identical to offline apply_model + one-shot decode
+    (same guarantee as the unfused pair; tests/test_unilstm.py)."""
+
+    def __init__(self, params, cfg: AcousticModelConfig, graph,
+                 bcfg=None, summary_words: Optional[int] = None):
+        from eesen_tpu.decoder.beam import (
+            BeamSearchConfig, DeviceGraph, StreamingBeamDecoder,
+            compose_chunk_paths, make_beam_decoder,
+        )
+
+        if cfg.bidirectional:
+            raise ValueError("streaming requires bidirectional=False")
+        bcfg = bcfg if bcfg is not None else BeamSearchConfig()
+        if bcfg.blank_skip > 0.0:
+            raise ValueError(
+                "StreamingPipeline runs the full search; use the "
+                "unfused StreamingBeamDecoder for per-chunk blank-skip"
+            )
+        self.params = params
+        self.cfg = cfg
+        self.graph = graph
+        self.bcfg = bcfg
+        self.dg = DeviceGraph.put(graph)
+        init_fn, chunk_fn = make_beam_decoder(graph, bcfg,
+                                              _internals=True)
+        self._init = init_fn
+        # host-side traceback reuses the unfused decoder's walker
+        self._walker = StreamingBeamDecoder.__new__(StreamingBeamDecoder)
+        self._walker.graph = graph
+        self._walker.summary_words = summary_words
+
+        cap_cfg = summary_words
+        params_c = params
+        model_cfg = cfg
+
+        @functools.partial(jax.jit, static_argnames=())
+        def fused(am_carries, dec_carry, feats, lengths, dg):
+            logits, am_carries = stream_step(
+                params_c, am_carries, feats, lengths, model_cfg
+            )
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            t_c = lp.shape[1]
+            active = (
+                jnp.arange(t_c, dtype=jnp.int32)[None, :]
+                < lengths[:, None]
+            )
+            dec_carry, (st, sc, par, ol, lm) = chunk_fn(
+                dec_carry, lp, active, dg
+            )
+            if cap_cfg is not None:
+                cap = cap_cfg
+            else:
+                tc, _b, _k, L = ol.shape
+                cap = min(max(16, (tc + 1) // 2), tc * L)
+            summary = compose_chunk_paths(par, ol, cap)
+            return am_carries, dec_carry, summary
+
+        self._fused = fused
+
+    def start(self, batch_size: int) -> dict:
+        dec_carry, init_olab = self._init(batch_size, self.dg)
+        return {
+            "am": init_stream_state(self.cfg, batch_size),
+            "carry": dec_carry,
+            "init_olab": np.asarray(init_olab),
+            "chunks_dev": [],     # ON-DEVICE (entry, words, cnt, ovf)
+            "batch": batch_size,
+            "tframes": 0,
+        }
+
+    def step(self, state: dict, feats, lengths=None) -> dict:
+        feats = jnp.asarray(feats)
+        if lengths is None:
+            lengths = jnp.full((feats.shape[0],), feats.shape[1],
+                               jnp.int32)
+        else:
+            lengths = jnp.asarray(lengths, jnp.int32)
+        am, carry, summary = self._fused(
+            state["am"], state["carry"], feats, lengths, self.dg
+        )
+        state["am"] = am
+        state["carry"] = carry
+        state["chunks_dev"].append(summary)   # stays on device
+        state["tframes"] += int(feats.shape[1])
+        return state
+
+    def _fetch(self, state: dict) -> dict:
+        # one batched transfer for ALL pending summaries
+        fetched = jax.device_get(state["chunks_dev"])
+        walker_state = {
+            "carry": state["carry"],
+            "init_olab": state["init_olab"],
+            "chunks": fetched,
+            "batch": state["batch"],
+            "tframes": state["tframes"],
+        }
+        return walker_state
+
+    def partial(self, state: dict):
+        return self._walker.partial(self._fetch(state))
+
+    def finish(self, state: dict):
+        return self._walker.finish(self._fetch(state))
 
 
 class StreamingAcousticModel:

@@ -243,6 +243,56 @@ def test_streaming_am_drives_streaming_decoder():
         np.testing.assert_allclose(c1, c2, rtol=1e-4, atol=1e-3)
 
 
+def test_streaming_pipeline_fused_matches_offline():
+    """StreamingPipeline (ONE jitted program per chunk, summaries kept
+    on device) must equal the offline forward + one-shot decode, like
+    the unfused pair."""
+    from eesen_tpu.decoder.arpa import arpa_to_fst
+    from eesen_tpu.decoder.beam import (
+        BeamSearchConfig, DeviceGraph, make_beam_decoder, traceback,
+    )
+    from eesen_tpu.decoder.ctc_graph import (
+        build_lg, build_tlg, compile_lang,
+    )
+    from eesen_tpu.decoder.graph_compile import compile_graph
+    from eesen_tpu.models.streaming import StreamingPipeline
+    from tests.test_ctc_graph import ARPA, LEXICON, UNITS
+
+    lang = compile_lang(LEXICON, UNITS, dict_type="phn")
+    g_fst = arpa_to_fst(ARPA, lang.words)
+    fst = build_tlg(lang.t_fst, build_lg(lang.l_fst, g_fst))
+    g = compile_graph(fst, max_degree=8, build_closure=True)
+
+    num_targets = 1 + len(UNITS)
+    cfg = dataclasses.replace(CFG, num_targets=num_targets)
+    params = init_model(jax.random.PRNGKey(7), cfg)
+
+    rng = np.random.default_rng(13)
+    b, t = 2, 18
+    feats = rng.standard_normal((b, t, cfg.input_dim)).astype(np.float32)
+    lengths = np.array([18, 12], np.int32)
+    logits = apply_model(params, jnp.asarray(feats),
+                         jnp.asarray(lengths), cfg)
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    bcfg = BeamSearchConfig(beam=1e9, max_active=256, acoustic_scale=0.9)
+    off = make_beam_decoder(g, bcfg)(
+        lp, jnp.asarray(lengths), DeviceGraph.put(g)
+    )
+    ref = traceback(off, lengths, g.final_weight)
+
+    pipe = StreamingPipeline(params, cfg, g, bcfg)
+    st = pipe.start(b)
+    for t0 in range(0, t, 5):
+        t1 = min(t0 + 5, t)
+        chunk_lens = np.clip(lengths - t0, 0, t1 - t0)
+        st = pipe.step(st, feats[:, t0:t1], chunk_lens)
+        _ = pipe.partial(st)   # mid-stream hypotheses don't disturb state
+    res = pipe.finish(st)
+    for (w1, c1), (w2, c2) in zip(ref, res):
+        assert w1 == w2, (w1, w2)
+        np.testing.assert_allclose(c1, c2, rtol=1e-4, atol=1e-3)
+
+
 def test_uni_trains_and_converges():
     """Toy CTC training through the uni stack (the reference's
     train-ctc-parallel would accept an <Lstm> net the same way)."""
