@@ -121,7 +121,8 @@ class StreamingPipeline:
     (same guarantee as the unfused pair; tests/test_unilstm.py)."""
 
     def __init__(self, params, cfg: AcousticModelConfig, graph,
-                 bcfg=None, summary_words: Optional[int] = None):
+                 bcfg=None, summary_words: Optional[int] = None,
+                 max_chunks: int = 512):
         from eesen_tpu.decoder.beam import (
             BeamSearchConfig, DeviceGraph, StreamingBeamDecoder,
             compose_chunk_paths, make_beam_decoder,
@@ -139,6 +140,7 @@ class StreamingPipeline:
         self.cfg = cfg
         self.graph = graph
         self.bcfg = bcfg
+        self.max_chunks = max_chunks
         self.dg = DeviceGraph.put(graph)
         init_fn, chunk_fn = make_beam_decoder(graph, bcfg,
                                               _internals=True)
@@ -152,7 +154,7 @@ class StreamingPipeline:
         params_c = params
         model_cfg = cfg
 
-        @functools.partial(jax.jit, static_argnames=())
+        @jax.jit
         def fused(am_carries, dec_carry, feats, lengths, dg):
             logits, am_carries = stream_step(
                 params_c, am_carries, feats, lengths, model_cfg
@@ -182,7 +184,8 @@ class StreamingPipeline:
             "am": init_stream_state(self.cfg, batch_size),
             "carry": dec_carry,
             "init_olab": np.asarray(init_olab),
-            "chunks_dev": [],     # ON-DEVICE (entry, words, cnt, ovf)
+            "chunks_dev": [],     # on-device summaries, append-only
+            "chunks_host": [],    # host mirror, extended lazily
             "batch": batch_size,
             "tframes": 0,
         }
@@ -204,12 +207,17 @@ class StreamingPipeline:
         return state
 
     def _fetch(self, state: dict) -> dict:
-        # one batched transfer for ALL pending summaries
-        fetched = jax.device_get(state["chunks_dev"])
+        # summaries are immutable once produced: fetch ONLY the ones
+        # added since the last partial()/finish() call (a periodic
+        # partial() then costs one chunk's 4 small transfers, ~20 ms on
+        # the remote tunnel, instead of refetching the whole history)
+        new = state["chunks_dev"][len(state["chunks_host"]):]
+        if new:
+            state["chunks_host"].extend(jax.device_get(new))
         walker_state = {
             "carry": state["carry"],
             "init_olab": state["init_olab"],
-            "chunks": fetched,
+            "chunks": state["chunks_host"],
             "batch": state["batch"],
             "tframes": state["tframes"],
         }
