@@ -1,6 +1,16 @@
 // Shim fstext-utils.h: just the functions the decoder/lattice chain
 // links against (the real header drags in determinize-star.h and
 // deterministic-fst.h, which need the full OpenFst API).
+//
+// PROVENANCE NOTE: this is TEST-HARNESS code whose sole purpose is to
+// compile the REFERENCE'S OWN binaries for cross-validation against
+// eesen_tpu (tests/test_reference_parity.py).  GetLinearSymbolSequence
+// and ReadFstKaldi are deliberately faithful transcriptions of the
+// reference's versions (fstext-utils-inl.h:125-165, :1267-1291) — they
+// must behave identically for the reference binaries to behave as
+// upstream's would.  Nothing here is part of the eesen_tpu framework,
+// whose own FST stack (eesen_tpu/decoder/fst.py, csrc/fstlib.cpp) is an
+// independent design.
 #ifndef MINIFST_FSTEXT_UTILS_H_
 #define MINIFST_FSTEXT_UTILS_H_
 
